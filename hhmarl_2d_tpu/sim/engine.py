@@ -1,0 +1,275 @@
+"""Pure-functional battle tick.
+
+Replaces ``CmanoSimulator.do_tick`` and the per-unit ``update`` methods
+(/root/reference/warsim/simulator/cmano_simulator.py:138-157, ac1.py:81-133,
+ac2.py:68-107, rocket_unit.py:37-73) with one fused, masked JAX program.
+
+Order-equivalence with the reference is preserved exactly:
+
+* ``do_tick`` iterates a *snapshot* of the unit registry
+  (``list(self.active_units.values())``, cmano_simulator.py:142), so a unit
+  killed mid-tick still executes its own update that tick -- it can still
+  cannon-kill and still steers its in-flight missile.  We therefore gate a
+  unit's *actions* on ``alive_start`` (the tick-start mask) and its
+  *vulnerability* on the running ``alive`` mask.
+* Aircraft update in slot order (ids ascend in spawn order,
+  cmano_simulator.py:104-108), so unit ``i``'s cannon scan sees post-move
+  positions of units ``j < i`` and pre-move positions of ``j > i``.  The
+  statically unrolled per-slot loop reproduces this.
+* All missiles have ids above all aircraft, so they update after every
+  aircraft: proximity checks use the target's post-move position and the
+  missile's pre-move position (rocket_unit.py:37-42).
+
+RNG: the reference mixes a per-sim ``random.Random`` and the global
+``random`` module; we use explicit JAX PRNG keys and match *distributions*
+(one uniform per potential cannon victim per tick, one steering-noise
+uniform per in-flight missile per tick).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hhmarl_2d_tpu import constants as C
+from hhmarl_2d_tpu import geo
+from hhmarl_2d_tpu.sim.state import SimState, TickEvents, blank_events
+
+_TURN = jnp.asarray(C.TURN_RATE_DEG_S)
+_ACCEL = jnp.asarray(C.ACCEL_KNOTS_S)
+_CAN_RANGE = jnp.asarray(C.CANNON_RANGE_KM)
+_CAN_WIDTH = jnp.asarray(C.CANNON_WIDTH_DEG)
+_CAN_BURST = jnp.asarray(C.CANNON_BURST_SECS)
+_CAN_PROB = jnp.asarray(C.CANNON_HIT_PROB)
+_ROCKET_SPEED = jnp.asarray(C.ROCKET_SPEED_TABLE)
+
+
+def _type_param(table, ac_type):
+    return jnp.take(table, ac_type - 1)
+
+
+def _rate_limited_heading(heading, target, max_deg):
+    """ac1.py:82-90: converge toward target at <= max_deg/s, wrap to 360."""
+    delta = geo.signed_heading_diff(heading, target)
+    step = jnp.where(delta >= 0.0, max_deg, -max_deg)
+    turned = jnp.mod(heading + step, 360.0)
+    return jnp.where(jnp.abs(delta) <= max_deg, target, turned)
+
+
+def _rate_limited_speed(speed, target, max_delta):
+    """ac1.py:92-99."""
+    delta = target - speed
+    step = jnp.where(delta >= 0.0, max_delta, -max_delta)
+    return jnp.where(jnp.abs(delta) <= max_delta, target, speed + step)
+
+
+def _move(lat, lon, heading, speed_knots, do_move):
+    """Unit.update dead-reckoning (cmano_simulator.py:65-72); 1 s tick.
+
+    ``lat``/``lon`` are offsets from the map anchor (see geo.py precision
+    strategy); radii are evaluated at the absolute latitude.
+    """
+    dlat, dlon = geo.geodetic_delta(C.MAP_BOTTOM_LAT + lat, heading,
+                                    speed_knots * C.KNOTS_TO_MS)
+    return (jnp.where(do_move, lat + dlat, lat),
+            jnp.where(do_move, lon + dlon, lon))
+
+
+def _inv(lat_a, lon_a, lat_b, lon_b):
+    """(distance_km, bearing_deg) between anchor-offset positions."""
+    return geo.inverse_deg(lat_b - lat_a, lon_b - lon_a,
+                           C.MAP_BOTTOM_LAT + 0.5 * (lat_a + lat_b))
+
+
+def tick(state: SimState, key: jax.Array, num_agents: int,
+         friendly_check: bool = True) -> tuple[SimState, TickEvents]:
+    """Advance the battle by one second.
+
+    ``num_agents`` is static (team boundary slot).  ``friendly_check``
+    mirrors args.friendly_kill: when True, cannon and missiles can also hit
+    teammates (ac1.py:109, rocket_unit.py:44-52).
+    """
+    n = state.n_slots
+    ev = blank_events(n)
+    alive_start = state.alive          # tick-start snapshot
+    m_alive_start = state.m_alive
+    alive = state.alive                # running mask (who can be hit)
+
+    k_cannon, k_steer = jax.random.split(key)
+    u_cannon = jax.random.uniform(k_cannon, (n, n), dtype=jnp.float32)
+    u_steer = jax.random.uniform(k_steer, (n,), dtype=jnp.float32,
+                                minval=0.95, maxval=1.05)
+
+    team = jnp.arange(n) < num_agents  # True = agent side
+
+    lat, lon = state.lat, state.lon
+    heading, speed = state.heading, state.speed
+    cannon_burst, cannon_remain = state.cannon_burst, state.cannon_remain
+    m_tgt_heading = state.m_tgt_heading
+    destroyed, killer, by_rocket = ev.destroyed, ev.killer, ev.by_rocket
+
+    # --- aircraft, in slot (id) order -------------------------------------
+    for i in range(n):
+        act = alive_start[i]
+        t_i = state.ac_type[i]
+
+        # heading / speed convergence (ac1.py:82-99)
+        new_h = _rate_limited_heading(heading[i], state.tgt_heading[i],
+                                      _type_param(_TURN, t_i))
+        new_s = _rate_limited_speed(speed[i], state.tgt_speed[i],
+                                    _type_param(_ACCEL, t_i))
+        heading = heading.at[i].set(jnp.where(act, new_h, heading[i]))
+        speed = speed.at[i].set(jnp.where(act, new_s, speed[i]))
+
+        # cannon burst (ac1.py:101-115)
+        burst_on = act & (cannon_burst[i] > 0.0)
+        cannon_burst = cannon_burst.at[i].set(
+            jnp.where(burst_on, jnp.maximum(cannon_burst[i] - 1.0, 0.0),
+                      cannon_burst[i]))
+        cannon_remain = cannon_remain.at[i].set(
+            jnp.where(burst_on, jnp.maximum(cannon_remain[i] - 1.0, 0.0),
+                      cannon_remain[i]))
+
+        # kill rolls against every other aircraft, using mid-tick positions
+        dist, bearing = _inv(lat[i], lon[i], lat, lon)
+        delta = jnp.abs(geo.signed_heading_diff(heading[i], bearing))
+        in_range = (dist < _type_param(_CAN_RANGE, t_i)) & \
+                   (delta <= _type_param(_CAN_WIDTH, t_i) / 2.0)
+        gate = friendly_check | (team != team[i])
+        p_hit = _type_param(_CAN_PROB, t_i) / _type_param(_CAN_BURST, t_i)
+        hit = (burst_on & alive & gate & in_range & (u_cannon[i] < p_hit))
+        hit = hit.at[i].set(False)
+        alive = alive & ~hit
+        destroyed = destroyed | hit
+        killer = jnp.where(hit, i, killer)
+
+        # steer own in-flight missile: multiplicative heading noise
+        # (ac1.py:118-128); runs even if this unit died mid-tick (snapshot).
+        steer = act & m_alive_start[i]
+        noisy = jnp.clip(state.m_heading[i] * u_steer[i], 0.0, 359.0)
+        m_tgt_heading = m_tgt_heading.at[i].set(
+            jnp.where(steer, noisy, m_tgt_heading[i]))
+
+        # position update last (ac1.py:130-131)
+        nlat, nlon = _move(lat[i], lon[i], heading[i], speed[i],
+                           act & (speed[i] > 0.0))
+        lat = lat.at[i].set(nlat)
+        lon = lon.at[i].set(nlon)
+
+    # --- missiles, after all aircraft (rocket_unit.py:37-73) ---------------
+    m_alive = state.m_alive
+    m_lat, m_lon, m_heading = state.m_lat, state.m_lon, state.m_heading
+    for i in range(n):
+        act = m_alive_start[i] & m_alive[i]
+        tgt = state.m_target[i]
+
+        # proximity kill on target (<1 km, rocket_unit.py:39-42)
+        d_t, _ = _inv(m_lat[i], m_lon[i], lat[tgt], lon[tgt])
+        hit_t = act & alive[tgt] & (d_t < C.ROCKET_PROXIMITY_KM)
+
+        # the reference's hardcoded "friendly" proximity check
+        # (rocket_unit.py:44-52): checks slot 0 if the source is slot 1,
+        # else slot 1 -- even for opponent-fired missiles.
+        fr = 0 if i == 1 else 1
+        d_f, _ = _inv(m_lat[i], m_lon[i], lat[fr], lon[fr])
+        hit_f = (act & ~hit_t & friendly_check & alive[fr]
+                 & (d_f < C.ROCKET_PROXIMITY_KM))
+
+        # end of life (rocket_unit.py:54-58)
+        life = state.time - state.m_fire_time[i]
+        eol = act & ~hit_t & ~hit_f & (life > C.ROCKET_EOL_SECS)
+
+        gone = hit_t | hit_f | eol
+        flying = act & ~gone
+
+        alive = alive.at[tgt].set(alive[tgt] & ~hit_t)
+        alive = alive.at[fr].set(alive[fr] & ~hit_f)
+        destroyed = destroyed.at[tgt].set(destroyed[tgt] | hit_t)
+        destroyed = destroyed.at[fr].set(destroyed[fr] | hit_f)
+        killer = killer.at[tgt].set(jnp.where(hit_t, i, killer[tgt]))
+        killer = killer.at[fr].set(jnp.where(hit_f, i, killer[fr]))
+        by_rocket = by_rocket.at[tgt].set(by_rocket[tgt] | hit_t)
+        by_rocket = by_rocket.at[fr].set(by_rocket[fr] | hit_f)
+        m_alive = m_alive.at[i].set(m_alive[i] & ~gone)
+
+        # heading convergence at 10 deg/s (rocket_unit.py:60-67; no wrap in
+        # the reference, but headings stay within one turn of [0,360) so a
+        # wrap is value-equivalent for all downstream trig)
+        new_mh = _rate_limited_heading(m_heading[i], m_tgt_heading[i],
+                                       C.ROCKET_TURN_RATE_DEG_S)
+        m_heading = m_heading.at[i].set(jnp.where(flying, new_mh, m_heading[i]))
+
+        # speed profile at integer life time (rocket_unit.py:70)
+        m_speed = jnp.take(_ROCKET_SPEED,
+                           jnp.clip(life, 0, C.ROCKET_EOL_SECS))
+        nmlat, nmlon = _move(m_lat[i], m_lon[i], m_heading[i], m_speed, flying)
+        m_lat = m_lat.at[i].set(nmlat)
+        m_lon = m_lon.at[i].set(nmlon)
+
+    new_state = state.replace(
+        lat=lat, lon=lon, heading=heading, speed=speed,
+        alive=alive, cannon_burst=cannon_burst, cannon_remain=cannon_remain,
+        m_alive=m_alive, m_lat=m_lat, m_lon=m_lon, m_heading=m_heading,
+        m_tgt_heading=m_tgt_heading,
+        time=state.time + 1,
+    )
+    return new_state, TickEvents(destroyed=destroyed, killer=killer,
+                                 by_rocket=by_rocket)
+
+
+# --- action-phase helpers (called before tick) ------------------------------
+
+def set_heading(state: SimState, new_heading, mask) -> SimState:
+    """Command heading in [0, 360) (ac1.py:58-61)."""
+    return state.replace(tgt_heading=jnp.where(mask, new_heading,
+                                               state.tgt_heading))
+
+
+def set_speed(state: SimState, new_speed, mask) -> SimState:
+    return state.replace(tgt_speed=jnp.where(mask, new_speed, state.tgt_speed))
+
+
+def fire_cannon(state: SimState, mask) -> SimState:
+    """Refresh burst to min(ammo, burst_time) (ac1.py:69-70)."""
+    burst = jnp.minimum(state.cannon_remain,
+                        _type_param(_CAN_BURST, state.ac_type))
+    return state.replace(cannon_burst=jnp.where(mask, burst,
+                                                state.cannon_burst))
+
+
+def fire_missiles(state: SimState, want: jnp.ndarray,
+                  target: jnp.ndarray) -> SimState:
+    """Attempt missile launch for every slot at once.
+
+    ``want`` must already encode the launcher-side conditions checked by the
+    env (_take_base_action, env_base.py:227-233): AC1, action bit set,
+    target designated, ammo left, no missile in flight, cooldown zero.
+    This applies the in-envelope checks from ac1.py:72-79: range <= 111 km
+    and the (one-sided) radar cone test from ac1.py:144-146
+    ``int(|signed_diff(heading+60, bearing)|) <= 60``.
+    """
+    tgt = jnp.clip(target, 0, state.n_slots - 1)
+    dist, bearing = _inv(state.lat, state.lon,
+                         state.lat[tgt], state.lon[tgt])
+    delta = jnp.abs(geo.signed_heading_diff(
+        geo.sum_angles(state.heading, C.MISSILE_WIDTH_DEG / 2.0), bearing))
+    ok = want & (dist <= C.MISSILE_RANGE_KM) & \
+        (jnp.floor(delta).astype(jnp.int32) <= int(C.MISSILE_WIDTH_DEG / 2.0))
+
+    return state.replace(
+        m_alive=jnp.where(ok, True, state.m_alive),
+        m_lat=jnp.where(ok, state.lat, state.m_lat),
+        m_lon=jnp.where(ok, state.lon, state.m_lon),
+        m_heading=jnp.where(ok, state.heading, state.m_heading),
+        m_tgt_heading=jnp.where(ok, state.heading, state.m_tgt_heading),
+        m_target=jnp.where(ok, tgt, state.m_target),
+        m_fire_time=jnp.where(ok, state.time, state.m_fire_time),
+        missile_remain=jnp.where(ok, jnp.maximum(state.missile_remain - 1, 0),
+                                 state.missile_remain),
+    )
+
+
+def remove_out_of_bounds(state: SimState, map_limits) -> tuple[SimState, jnp.ndarray]:
+    """Boundary enforcement done in _combat_rewards (env_base.py:251-263)."""
+    oob = state.alive & ~map_limits.in_boundary(state.lat, state.lon)
+    return state.replace(alive=state.alive & ~oob), oob
