@@ -1,0 +1,237 @@
+"""On-device PPO learner for the low-level heterogeneous stage.
+
+Replaces Ray RLlib 2.4 PPO (train_hetero.py:210-245) with a single fused
+JAX program: vectorized rollout (lax.scan over vmapped envs), GAE, and
+minibatched clipped-surrogate SGD with RLlib's adaptive KL penalty --
+trained jointly for the two policies (ac1/ac2) whose parameters are
+disjoint, which is equivalent to RLlib's per-policy optimizers.
+
+Loss matches RLlib 2.4 torch PPO:
+  L = -E[min(ratio * A, clip(ratio, 1-eps, 1+eps) * A)]
+      + kl_coeff * KL(old || new)          (analytic, from stored logits)
+      + vf_coeff * clamp((V - V_target)^2, 0, vf_clip)
+      - entropy_coeff * H
+with kl_coeff adapted per train iteration: *1.5 if kl > 2*target,
+*0.5 if kl < 0.5*target (rllib update_kl).
+
+Sequence handling: the rollout [B, T] is sliced into [n_seqs, seq_len]
+chunks; attention masks on episode-segment ids keep chunks from attending
+across auto-reset boundaries (RLlib's max_seq_len sequencing analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from hhmarl_2d_tpu.algo import distributions as D
+from hhmarl_2d_tpu.algo.gae import compute_gae
+from hhmarl_2d_tpu.env import lowlevel
+from hhmarl_2d_tpu.models import policy as P
+
+_ACT_NORM = jnp.asarray([12.0, 8.0, 1.0, 1.0])
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Hyperparameters (reference values: train_hetero.py:216, config.py)."""
+
+    num_envs: int = 256
+    rollout_len: int = 128       # steps per env per iteration
+    seq_len: int = 16            # training-sequence chunk for attention
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip: float = 0.25
+    lr: float = 1e-4
+    kl_target: float = 0.025
+    kl_coeff_init: float = 0.2
+    vf_clip: float = 10.0
+    vf_coeff: float = 1.0
+    entropy_coeff: float = 0.0
+    sgd_iters: int = 8           # passes over the batch per iteration
+    num_minibatches: int = 8     # minibatches per pass
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    kl_coeff: jnp.ndarray        # [2] per policy (ac1, ac2)
+    update_i: jnp.ndarray
+
+
+@struct.dataclass
+class Batch:
+    obs: jnp.ndarray       # [N, L, 2, OBS_PAD]
+    actions: jnp.ndarray   # [N, L, 2, 4]
+    logp: jnp.ndarray      # [N, L, 2]
+    logits: jnp.ndarray    # [N, L, 2, 26]
+    adv: jnp.ndarray       # [N, L, 2]
+    targets: jnp.ndarray   # [N, L, 2]
+    seg: jnp.ndarray       # [N, L] episode segment ids
+
+
+class LowLevelPPO:
+    """Trainer for one curriculum level of the low-level stage."""
+
+    def __init__(self, cfg_env, ppo: PPOConfig,
+                 team: Optional[P.LowLevelTeam] = None, opp_actor=None):
+        self.cfg = cfg_env
+        self.ppo = ppo
+        self.team = team or P.LowLevelTeam(cfg_env.agent_mode)
+        self.opp_actor = opp_actor
+        self.tx = optax.adam(ppo.lr)
+        assert ppo.rollout_len % ppo.seq_len == 0
+
+    # --- initialization ----------------------------------------------------
+
+    def init(self, key):
+        k_model, k_env = jax.random.split(key)
+        params = self.team.init(k_model)
+        opt_state = self.tx.init(params)
+        env_keys = jax.random.split(k_env, self.ppo.num_envs)
+        env_state, obs = jax.vmap(lambda k: lowlevel.reset(self.cfg, k))(env_keys)
+        ts = TrainState(params=params, opt_state=opt_state,
+                        kl_coeff=jnp.full((2,), self.ppo.kl_coeff_init),
+                        update_i=jnp.asarray(0, jnp.int32))
+        return ts, env_state, obs
+
+    # --- rollout -----------------------------------------------------------
+
+    def _rollout(self, ts: TrainState, env_state, obs0, key):
+        def step_fn(carry, k):
+            env_state, obs = carry
+            k_act, k_env = jax.random.split(k)
+            actions, logp, values, logits = self.team.act(ts.params, obs, k_act)
+            env_keys = jax.random.split(k_env, self.ppo.num_envs)
+            env_state, next_obs, rew, done, info = jax.vmap(
+                lambda s, a, kk: lowlevel.step(self.cfg, s, a, kk,
+                                               self.opp_actor))(
+                env_state, actions, env_keys)
+            out = dict(obs=obs, actions=actions, logp=logp, values=values,
+                       logits=logits, rew=rew, done=done, info=info)
+            return (env_state, next_obs), out
+
+        keys = jax.random.split(key, self.ppo.rollout_len)
+        (env_state, obs_last), traj = jax.lax.scan(
+            step_fn, (env_state, obs0), keys)
+        return env_state, obs_last, traj
+
+    def _make_batch(self, ts, traj, obs_last):
+        """GAE, per-policy advantage standardization, sequence slicing."""
+        _, _, last_values, _ = self.team.act(
+            ts.params, obs_last, jax.random.PRNGKey(0), greedy=True)
+        adv, targets = compute_gae(
+            traj["rew"], traj["values"],
+            traj["done"][..., None].astype(jnp.float32),
+            last_values, self.ppo.gamma, self.ppo.lam)
+        adv = (adv - adv.mean(axis=(0, 1))) / (adv.std(axis=(0, 1)) + 1e-8)
+
+        B = traj["rew"].shape[1]
+        T = self.ppo.rollout_len
+        L = self.ppo.seq_len
+        n_seqs = B * (T // L)
+
+        def to_seqs(x):  # [T, B, ...] -> [n_seqs, L, ...]
+            x = jnp.swapaxes(x, 0, 1)
+            return x.reshape((n_seqs, L) + x.shape[2:])
+
+        done_bt = jnp.swapaxes(traj["done"], 0, 1)
+        seg = jnp.cumsum(jnp.pad(done_bt[:, :-1], ((0, 0), (1, 0))), axis=1)
+        return Batch(obs=to_seqs(traj["obs"]), actions=to_seqs(traj["actions"]),
+                     logp=to_seqs(traj["logp"]), logits=to_seqs(traj["logits"]),
+                     adv=to_seqs(adv), targets=to_seqs(targets),
+                     seg=seg.reshape(n_seqs, L))
+
+    # --- loss --------------------------------------------------------------
+
+    def _loss(self, params, batch: Batch, kl_coeff):
+        logits, values = self.team.forward(
+            params, batch.obs,
+            act_norm=batch.actions.astype(jnp.float32) / _ACT_NORM,
+            seg=batch.seg)
+        total = 0.0
+        metrics = {}
+        for slot, t in enumerate((1, 2)):
+            nv = D.NVEC_AC1 if t == 1 else D.NVEC_AC2
+            w = sum(nv)
+            lg = logits[..., slot, :w]
+            a = batch.actions[..., slot, :len(nv)]
+            lp = D.log_prob(lg, nv, a)
+            ratio = jnp.exp(lp - batch.logp[..., slot])
+            adv = batch.adv[..., slot]
+            surr = jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - self.ppo.clip, 1 + self.ppo.clip) * adv)
+            ent = D.entropy(lg, nv)
+            kl = jnp.mean(D.kl(batch.logits[..., slot, :w], lg, nv))
+            vf = jnp.clip((values[..., slot] - batch.targets[..., slot]) ** 2,
+                          0.0, self.ppo.vf_clip)
+            pol_loss = -jnp.mean(surr)
+            vf_loss = jnp.mean(vf)
+            total = total + (pol_loss + kl_coeff[slot] * kl
+                             + self.ppo.vf_coeff * vf_loss
+                             - self.ppo.entropy_coeff * jnp.mean(ent))
+            metrics[f"kl_{t}"] = kl
+            metrics[f"pol_loss_{t}"] = pol_loss
+            metrics[f"vf_loss_{t}"] = vf_loss
+            metrics[f"entropy_{t}"] = jnp.mean(ent)
+        return total, metrics
+
+    def _metric_keys(self):
+        return [f"{name}_{t}" for t in (1, 2)
+                for name in ("kl", "pol_loss", "vf_loss", "entropy")]
+
+    # --- one training iteration -------------------------------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_iter(self, ts: TrainState, env_state, obs, key):
+        k_roll, k_shuf = jax.random.split(key)
+        env_state, obs_last, traj = self._rollout(ts, env_state, obs, k_roll)
+        batch = self._make_batch(ts, traj, obs_last)
+        n_seqs = batch.obs.shape[0]
+        mb = n_seqs // self.ppo.num_minibatches
+
+        def sgd_pass(carry, k):
+            perm = jax.random.permutation(k, n_seqs)
+
+            def mb_step(carry, idx):
+                params, opt_state, _ = carry
+                mb_batch = jax.tree_util.tree_map(lambda x: x[idx], batch)
+                (_, metrics), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(params, mb_batch, ts.kl_coeff)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, metrics), None
+
+            idxs = perm[:mb * self.ppo.num_minibatches].reshape(
+                self.ppo.num_minibatches, mb)
+            carry, _ = jax.lax.scan(mb_step, carry, idxs)
+            return carry, None
+
+        zero_metrics = {k: jnp.asarray(0.0) for k in self._metric_keys()}
+        (params, opt_state, metrics), _ = jax.lax.scan(
+            sgd_pass, (ts.params, ts.opt_state, zero_metrics),
+            jax.random.split(k_shuf, self.ppo.sgd_iters))
+
+        # adaptive KL coefficient (rllib update_kl)
+        kls = jnp.stack([metrics["kl_1"], metrics["kl_2"]])
+        kl_coeff = jnp.where(
+            kls > 2.0 * self.ppo.kl_target, ts.kl_coeff * 1.5,
+            jnp.where(kls < 0.5 * self.ppo.kl_target, ts.kl_coeff * 0.5,
+                      ts.kl_coeff))
+
+        ts = TrainState(params=params, opt_state=opt_state, kl_coeff=kl_coeff,
+                        update_i=ts.update_i + 1)
+        metrics = dict(metrics)
+        metrics["reward_mean"] = jnp.mean(jnp.sum(traj["rew"], axis=0))
+        metrics["episodes"] = jnp.sum(traj["done"])
+        for k in ("agents_win", "opps_win", "draw"):
+            metrics[k] = jnp.sum(traj["info"][k])
+        return ts, env_state, obs_last, metrics

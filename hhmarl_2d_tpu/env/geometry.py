@@ -1,0 +1,111 @@
+"""Observation-space geometry, vectorized over slot pairs.
+
+Implements the degree-space geometry helpers of the reference env
+(/root/reference/envs/env_base.py:400-487): these work on raw lat/lon
+*differences* (not geodesic distances), so anchor-offset coordinates drop in
+directly.  All return normalized values in [0, 1] unless noted.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_DEG = jnp.pi / 180.0
+_EPS = 1e-10
+
+
+def heading_vec(heading_deg):
+    """Unit vector [x(east-ish math convention), y] for a compass heading.
+
+    env_base.py:428 uses [cos((90-h)%360), sin((90-h)%360)] in (lon, lat)
+    axes, i.e. the standard math-angle form of a compass bearing.
+    """
+    a = jnp.mod(90.0 - heading_deg, 360.0) * _DEG
+    return jnp.cos(a), jnp.sin(a)
+
+
+def focus_angle_deg(heading_a_deg, lat_a, lon_a, lat_b, lon_b):
+    """ATA angle in degrees: angle between a's heading vector and the
+    displacement vector a->b (env_base.py:424-432)."""
+    hx, hy = heading_vec(heading_a_deg)
+    dx = lon_b - lon_a
+    dy = lat_b - lat_a
+    num = hx * dx + hy * dy
+    den = jnp.sqrt(hx * hx + hy * hy) * jnp.sqrt(dx * dx + dy * dy) + _EPS
+    x = jnp.clip(num / den, -1.0, 1.0)
+    return jnp.arccos(x) / _DEG
+
+
+def heading_diff_deg(heading_a_deg, heading_b_deg):
+    """Angle between two heading vectors in degrees (env_base.py:448-456)."""
+    ax, ay = heading_vec(heading_a_deg)
+    bx, by = heading_vec(heading_b_deg)
+    num = ax * bx + ay * by
+    den = jnp.sqrt(ax * ax + ay * ay) * jnp.sqrt(bx * bx + by * by) + _EPS
+    x = jnp.clip(num / den, -1.0, 1.0)
+    return jnp.arccos(x) / _DEG
+
+
+def distance_deg(lat_a, lon_a, lat_b, lon_b):
+    """Euclidean distance in degree space (env_base.py:434-439, hypot)."""
+    return jnp.hypot(lon_b - lon_a, lat_b - lat_a)
+
+
+def norm_distance(d_deg, map_size):
+    """shifted_range(d, 0, sqrt(2*map_size^2), 0, 1) (env_base.py:439)."""
+    return d_deg / jnp.sqrt(2.0 * map_size * map_size)
+
+
+def aspect_angle_norm(focus_deg):
+    """clip((180 - focus)/180, 0, 1) (env_base.py:441-446)."""
+    return jnp.clip((180.0 - focus_deg) / 180.0, 0.0, 1.0)
+
+
+def shifted_range(x, a, b, c, d):
+    """Affine map from [a, b] to [c, d] (env_base.py:458-462)."""
+    return c + ((d - c) / (b - a)) * (x - a)
+
+
+def correct_angle_sign(heading_a_deg, lat_a, lon_a, lat_c, lon_c):
+    """Turn-direction sign via a line-side test (env_base.py:464-487).
+
+    Returns +1 if point c is to the right of a's heading line, else -1
+    (reference: ``val < 0 -> 1 else -1``).
+    """
+    x1 = jnp.sin(jnp.mod(heading_a_deg, 360.0) * _DEG)
+    y1 = jnp.cos(jnp.mod(heading_a_deg, 360.0) * _DEG)
+    val = x1 * (lat_c - lat_a) - (lon_c - lon_a) * y1
+    return jnp.where(val < 0.0, 1.0, -1.0)
+
+
+def pairwise(sim, map_size):
+    """All-pairs geometry for one battle.
+
+    Returns dict of [n, n] arrays: dist (raw degrees), dist_norm,
+    focus (focus_angle from i to j, degrees), hdiff (degrees).
+    """
+    lat, lon, hdg = sim.lat, sim.lon, sim.heading
+    la, lb = lat[:, None], lat[None, :]
+    oa, ob = lon[:, None], lon[None, :]
+    dist = distance_deg(la, oa, lb, ob)
+    focus = focus_angle_deg(hdg[:, None], la, oa, lb, ob)
+    hdiff = heading_diff_deg(hdg[:, None], hdg[None, :])
+    return {
+        "dist": dist,
+        "dist_norm": norm_distance(dist, map_size),
+        "focus": focus,
+        "hdiff": hdiff,
+    }
+
+
+def sort_enemies(dist_norm_row, enemy_mask):
+    """Alive enemies of one slot ordered by distance (_nearby_object,
+    env_base.py:400-422).
+
+    Returns (order, valid): ``order[k]`` is the slot index of the k-th
+    closest alive enemy; ``valid[k]`` False past the last one.
+    """
+    masked = jnp.where(enemy_mask, dist_norm_row, jnp.inf)
+    order = jnp.argsort(masked)
+    valid = jnp.take(enemy_mask, order)
+    return order, valid

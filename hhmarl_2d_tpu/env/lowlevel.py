@@ -1,0 +1,167 @@
+"""Low-level (fight / escape) environment as a pure function.
+
+Replaces ``LowLevelEnv`` (/root/reference/envs/env_hetero.py:16-271) with a
+functional ``reset``/``step`` pair over the SoA sim state -- vmappable to
+thousands of parallel battles and shardable over a device mesh.
+
+Step pipeline (mirroring HHMARLBaseEnv.step + LowLevelEnv._take_action):
+  1. capture pre-tick opponent stats for kill-reward scaling
+  2. apply agent actions; run scripted (L1-3) or frozen-policy (L4-5)
+     opponents
+  3. sim tick
+  4. rewards: out-of-bounds, events, escape shaping, glob_frac mixing
+  5. termination + eval info; fresh agent observations
+  6. auto-reset on termination (vectorized episodes never block)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hhmarl_2d_tpu.env import actions as A
+from hhmarl_2d_tpu.env import geometry as G
+from hhmarl_2d_tpu.env import obs as O
+from hhmarl_2d_tpu.env import rewards as R
+from hhmarl_2d_tpu.env import scripted, spawn
+from hhmarl_2d_tpu.sim import engine
+from hhmarl_2d_tpu.sim.state import SimState
+
+
+@struct.dataclass
+class LLState:
+    sim: SimState
+    steps: jnp.ndarray          # i32
+    opp_to_attack: jnp.ndarray  # i32[num_agents]: designation from last obs
+    escaping: jnp.ndarray       # bool: L3 shared escape flag
+    esc_time: jnp.ndarray       # i32: L3 escape countdown
+    opp_level: jnp.ndarray      # i32: L5 per-episode opponent level (3..5)
+    key: jnp.ndarray            # PRNG for auto-reset
+
+
+# Opponent actor: (cfg, sim, opp_level, key) -> (acts [n,4], targets [n])
+# covering the opponent slots (entries for agent slots ignored).
+OppActor = Callable
+
+
+def reset(cfg, key):
+    """New episode.  Returns (LLState, obs [num_agents, OBS_PAD])."""
+    k_sim, k_lvl, k_carry = jax.random.split(key, 3)
+    sim = spawn.reset_scenario(cfg, k_sim, mode="LowLevel")
+    if cfg.level == 5 and cfg.agent_mode == "fight":
+        # per-episode opponent behavior draw (env_hetero.py:55-59)
+        opp_level = jax.random.randint(k_lvl, (), 3, 6)
+    elif cfg.level == 4:
+        # L4 opponents replay the L3 policies (env_base.py:320-321)
+        opp_level = jnp.asarray(3, dtype=jnp.int32)
+    else:
+        opp_level = jnp.asarray(cfg.level, dtype=jnp.int32)
+    obs, opp_to_attack, _ = O.lowlevel_side_obs(
+        cfg, sim, _agent_obs_mode(cfg), "agent")
+    return LLState(sim=sim, steps=jnp.asarray(0, jnp.int32),
+                   opp_to_attack=opp_to_attack,
+                   escaping=jnp.asarray(False),
+                   esc_time=jnp.asarray(0, jnp.int32),
+                   opp_level=opp_level.astype(jnp.int32),
+                   key=k_carry), obs
+
+
+def _agent_obs_mode(cfg):
+    return "fight" if cfg.agent_mode == "fight" else "esc"
+
+
+def _opp_stats_focus(cfg, sim, opp_to_attack):
+    """focus_angle(designated_opp -> agent, norm), pre-tick
+    (env_hetero.py:169-170); 0 where no valid designation."""
+    na = cfg.num_agents
+    tgt = jnp.clip(opp_to_attack, 0, cfg.n_slots - 1)
+    geom = G.pairwise(sim, cfg.map_size)
+    focus_n = jnp.clip(geom["focus"][tgt, jnp.arange(na)] / 180.0, 0.0, 1.0)
+    valid = (opp_to_attack >= 0) & sim.alive[tgt] & sim.alive[:na]
+    return jnp.where(valid, focus_n, 0.0)
+
+
+def step(cfg, state: LLState, agent_actions, key,
+         opp_actor: Optional[OppActor] = None):
+    """One environment step.
+
+    agent_actions [num_agents, 4] int32 (AC2 column 3 ignored).
+    Returns (LLState, obs, rewards [num_agents], done, info dict).
+    """
+    n, na = cfg.n_slots, cfg.num_agents
+    sim = state.sim
+    steps = state.steps + 1
+    k_act, k_opp, k_tick, k_reset = jax.random.split(key, 4)
+
+    # pre-tick stats for cannon-kill reward scaling
+    opp_stats = _opp_stats_focus(cfg, sim, state.opp_to_attack)
+
+    # assemble the full action/target arrays
+    acts = jnp.zeros((n, 4), dtype=jnp.int32)
+    acts = acts.at[:na].set(agent_actions.astype(jnp.int32))
+    targets = jnp.full((n,), -1, dtype=jnp.int32)
+    targets = targets.at[:na].set(state.opp_to_attack)
+    acting = jnp.zeros((n,), dtype=bool).at[:na].set(sim.alive[:na])
+
+    escaping, esc_time = state.escaping, state.esc_time
+    if cfg.level <= 3:
+        sim, escaping, esc_time = scripted.run_scripted(
+            cfg, sim, steps, escaping, esc_time, k_opp)
+    else:
+        if opp_actor is None:
+            raise ValueError("levels 4-5 need an opp_actor (frozen policies)")
+        opp_acts, opp_targets = opp_actor(cfg, sim, state.opp_level, k_opp)
+        acts = acts.at[na:].set(opp_acts[na:])
+        targets = targets.at[na:].set(opp_targets[na:])
+        acting = acting.at[na:].set(sim.alive[na:])
+
+    sim, pen = A.apply_actions(cfg, sim, acts, acting, targets, k_act,
+                               mode="LowLevel")
+
+    # dynamics
+    sim, events = engine.tick(sim, k_tick, na,
+                              friendly_check=cfg.friendly_kill)
+
+    # rewards
+    sim, rews, destroyed_agents, _ = R.combat_rewards(
+        cfg, sim, events, opp_stats, mode="LowLevel")
+    if cfg.agent_mode == "escape" and cfg.esc_dist_rew:
+        rews = rews + R.esc_dist_shaping(cfg, sim)
+    base = jnp.where(acting[:na], pen[:na], 0.0)
+    rewards = R.sum_lowlevel(cfg, base, rews, destroyed_agents, sim.alive[:na])
+
+    # termination (env_base.py:90)
+    alive_agents = jnp.sum(sim.alive[:na])
+    alive_opps = jnp.sum(sim.alive[na:])
+    done = (alive_agents <= 0) | (alive_opps <= 0) | (steps >= cfg.horizon)
+    info = {
+        "agents_win": ((alive_opps <= 0) & (steps < cfg.horizon)).astype(jnp.int32),
+        "opps_win": ((alive_agents <= 0) & (steps < cfg.horizon)).astype(jnp.int32),
+        "draw": ((steps >= cfg.horizon) & (alive_agents > 0)
+                 & (alive_opps > 0)).astype(jnp.int32),
+    }
+
+    obs, opp_to_attack, _ = O.lowlevel_side_obs(
+        cfg, sim, _agent_obs_mode(cfg), "agent")
+    next_state = LLState(sim=sim, steps=steps, opp_to_attack=opp_to_attack,
+                         escaping=escaping, esc_time=esc_time,
+                         opp_level=state.opp_level, key=state.key)
+
+    # auto-reset: replace terminated episodes with fresh ones
+    reset_state, reset_obs = reset(cfg, state.key)
+    next_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a),
+        next_state, reset_state)
+    obs = jnp.where(done, reset_obs, obs)
+    return next_state, obs, rewards, done, info
+
+
+def make_vec_env(cfg, opp_actor: Optional[OppActor] = None):
+    """Batched env: reset(key [B]) and step(state, actions [B,na,4], key [B])."""
+    v_reset = jax.vmap(lambda k: reset(cfg, k))
+    v_step = jax.vmap(lambda s, a, k: step(cfg, s, a, k, opp_actor))
+    return v_reset, v_step

@@ -1,0 +1,187 @@
+"""Scripted opponent behaviors for curriculum levels 1-3.
+
+Implements ``__opp_level1/2/3``, ``_escaping_opp`` and ``_hardcoded_opp``
+(/root/reference/envs/env_hetero.py:118-158,227-271) as masked vectorized
+policies.  Level-3's escape mode uses *shared* mutable flags across both
+opponents with sequential trigger semantics (first opponent's coin flip is
+visible to the second in the same step), reproduced by an unrolled
+slot-order loop.
+
+Quirk preserved: the scripted levels never decrement ``missile_wait`` (only
+``_take_base_action`` does, and scripted opponents bypass it), so each
+scripted opponent fires at most ONE missile per episode
+(env_hetero.py:119-123 sets wait=5; env_base.py:235-236 never runs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hhmarl_2d_tpu import geo
+from hhmarl_2d_tpu.env import geometry as G
+from hhmarl_2d_tpu.sim import engine
+
+
+def _closest_agent(cfg, sim, opp_slot):
+    """Closest alive agent to this opponent ([0][0..2] of _nearby_object)."""
+    geom = G.pairwise(sim, cfg.map_size)
+    agent_alive = (jnp.arange(cfg.n_slots) < cfg.num_agents) & sim.alive
+    order, valid = G.sort_enemies(geom["dist_norm"][opp_slot], agent_alive)
+    tgt = order[0]
+    return tgt, valid[0], geom["dist_norm"][opp_slot, tgt], geom["focus"][opp_slot, tgt]
+
+
+def _missile_attempt(cfg, sim, i, steps, key):
+    """Shared missile logic of levels 1 and 2 (env_hetero.py:119-123):
+    fire at the closest agent in a 3-tick window every 40 steps, coin-gated;
+    sets missile_wait to 5 (never decremented -> one shot per episode)."""
+    coin = jax.random.randint(key, (), 0, 2) == 1
+    tgt, tgt_valid, _, _ = _closest_agent(cfg, sim, i)
+    window = jnp.isin(jnp.mod(steps, 40), jnp.asarray([0, 1, 2]))
+    mask = jnp.zeros(cfg.n_slots, dtype=bool).at[i].set(
+        sim.alive[i] & ~sim.m_alive[i] & window & coin
+        & (sim.missile_wait[i] == 0) & (sim.ac_type[i] == 1) & tgt_valid)
+    sim = engine.fire_missiles(
+        sim, mask, jnp.full(cfg.n_slots, tgt, dtype=jnp.int32))
+    # wait set unconditionally once the outer condition held
+    wait = jnp.where(mask, 5, sim.missile_wait)
+    return sim.replace(missile_wait=wait)
+
+
+def level1(cfg, sim, steps, key):
+    """Stationary opponents that only fire occasional missiles."""
+    for off, k in zip(range(cfg.num_opps),
+                      jax.random.split(key, cfg.num_opps)):
+        sim = _missile_attempt(cfg, sim, cfg.num_agents + off, steps, k)
+    return sim
+
+
+def level2(cfg, sim, steps, key):
+    """Continuous cannon + random maneuvering (env_hetero.py:125-136)."""
+    n = cfg.n_slots
+    is_opp = jnp.arange(n) >= cfg.num_agents
+    act = is_opp & sim.alive
+    sim = engine.fire_cannon(sim, act)
+
+    for off, kk in zip(range(cfg.num_opps),
+                       jax.random.split(key, cfg.num_opps)):
+        i = cfg.num_agents + off
+        k1, k2, k3, k4 = jax.random.split(kk, 4)
+        period = jax.random.randint(k1, (), 35, 46)
+        maneuver = sim.alive[i] & ((steps <= 5) | (jnp.mod(steps, period) <= 5))
+        turn = jnp.where(jax.random.randint(k2, (), 0, 2) == 1, -90.0, 90.0)
+        new_h = jnp.mod(sim.heading[i] + turn, 360.0)
+        new_s = 100.0 + jax.random.randint(k3, (), 0, 5).astype(jnp.float32) * 75.0
+        mask = jnp.zeros(n, dtype=bool).at[i].set(maneuver)
+        sim = engine.set_heading(sim, jnp.full(n, new_h), mask)
+        sim = engine.set_speed(sim, jnp.full(n, new_s), mask)
+        sim = _missile_attempt(cfg, sim, i, steps, k4)
+    return sim
+
+
+def _escaping_heading(lat_rel, lon_rel, key):
+    """Quadrant-based diagonal escape heading (env_hetero.py:227-245).
+
+    Reference reads ``y, x = relative_position(lat, lon)`` so y is the
+    latitude fraction and x the longitude fraction; headings are
+    int(uniform(lo, hi)).
+    """
+    y, x = lat_rel, lon_rel
+    u = jax.random.uniform(key)
+    lo = jnp.where(y < 0.5,
+                   jnp.where(x < 0.5, 30.0, 300.0),
+                   jnp.where(x < 0.5, 120.0, 210.0))
+    return jnp.floor(lo + u * 30.0)
+
+
+def level3(cfg, sim, steps, escaping, esc_time, key):
+    """Pursuit automaton with random escape phases (env_hetero.py:138-158).
+
+    ``escaping``/``esc_time`` are the shared flags; both are carried
+    per-battle in the env state and the countdown decrements once per alive
+    opponent per step (reference decrements inside each opponent's branch).
+    """
+    n = cfg.n_slots
+    for off, kk in zip(range(cfg.num_opps),
+                       jax.random.split(key, cfg.num_opps)):
+        i = cfg.num_agents + off
+        k_flip, k_dur, k_esc_h, k_esc_s, k_esc_f, k_r, k_spd, k_spd2, k_m = (
+            jax.random.split(kk, 9))
+        alive_i = sim.alive[i]
+
+        # trigger: every 60 steps, coin-flip into escape (env_hetero.py:139-142)
+        trigger = alive_i & (jnp.mod(steps, 60) == 0) & ~escaping
+        flip = jax.random.randint(k_flip, (), 0, 2) == 1
+        duration = jnp.floor(jax.random.uniform(k_dur, (), minval=20.0,
+                                                maxval=30.0)).astype(jnp.int32)
+        esc_time = jnp.where(trigger & flip, duration, esc_time)
+        escaping = escaping | (trigger & flip)
+
+        # escape branch (env_hetero.py:144-149, 227-245)
+        ml = geo.make_map_limits(cfg.map_size)
+        lat_rel, lon_rel = ml.relative_position(sim.lat[i], sim.lon[i])
+        esc_h = _escaping_heading(lat_rel, lon_rel, k_esc_h)
+        esc_s = jnp.floor(jax.random.uniform(k_esc_s, (), minval=300.0,
+                                             maxval=600.0))
+        esc_fire = jax.random.randint(k_esc_f, (), 0, 2) == 1
+
+        # pursuit branch (_hardcoded_opp, env_hetero.py:247-271)
+        tgt, tgt_valid, d_norm, focus = _closest_agent(cfg, sim, i)
+        sign = G.correct_angle_sign(sim.heading[i], sim.lat[i], sim.lon[i],
+                                    sim.lat[tgt], sim.lon[tgt])
+        r = jax.random.uniform(k_r, (), minval=0.7, maxval=1.3)
+        turn_ok = tgt_valid & (d_norm > 0.008) & (focus > 4.0)
+        pur_h = jnp.where(turn_ok,
+                          jnp.mod(sim.heading[i] + r * sign * focus, 360.0),
+                          sim.heading[i])
+        spd_near = jnp.floor(jax.random.uniform(k_spd, (), minval=100.0,
+                                                maxval=400.0))
+        spd_far = jnp.where(
+            focus < 30.0,
+            jnp.floor(jax.random.uniform(k_spd2, (), minval=500.0,
+                                         maxval=800.0)),
+            jnp.floor(jax.random.uniform(k_spd2, (), minval=100.0,
+                                         maxval=500.0)))
+        pur_s = jnp.where(tgt_valid & (d_norm > 0.05), spd_far, spd_near)
+        pur_s = jnp.where(sim.ac_type[i] == 2, jnp.clip(pur_s, 0.0, 600.0),
+                          pur_s)
+        pur_fire = tgt_valid & (d_norm < 0.03) & (focus < 10.0)
+        pur_fire_missile = tgt_valid & (d_norm < 0.09) & (focus < 5.0)
+
+        use_esc = escaping
+        new_h = jnp.where(use_esc, esc_h, pur_h)
+        new_s = jnp.where(use_esc, esc_s, pur_s)
+        new_s = jnp.where(sim.ac_type[i] == 2, jnp.clip(new_s, 0.0, 600.0),
+                          new_s)
+        fire = jnp.where(use_esc, esc_fire, pur_fire)
+        fire_m = jnp.where(use_esc, False, pur_fire_missile)
+
+        mask = jnp.zeros(n, dtype=bool).at[i].set(alive_i)
+        sim = engine.set_heading(sim, jnp.full(n, new_h), mask)
+        sim = engine.set_speed(sim, jnp.full(n, new_s), mask)
+        sim = engine.fire_cannon(sim, mask & fire)
+
+        m_mask = jnp.zeros(n, dtype=bool).at[i].set(
+            alive_i & fire_m & ~sim.m_alive[i] & (sim.missile_wait[i] == 0)
+            & (sim.ac_type[i] == 1))
+        sim = engine.fire_missiles(sim, m_mask,
+                                   jnp.full(n, tgt, dtype=jnp.int32))
+        sim = sim.replace(missile_wait=jnp.where(m_mask, 10,
+                                                 sim.missile_wait))
+
+        # countdown decrements inside each alive opponent's escape branch
+        esc_time = jnp.where(alive_i & use_esc, esc_time - 1, esc_time)
+        escaping = escaping & ~(alive_i & use_esc & (esc_time <= 0))
+    return sim, escaping, esc_time
+
+
+def run_scripted(cfg, sim, steps, escaping, esc_time, key):
+    """Dispatch by (static) curriculum level."""
+    if cfg.level == 1:
+        return level1(cfg, sim, steps, key), escaping, esc_time
+    if cfg.level == 2:
+        return level2(cfg, sim, steps, key), escaping, esc_time
+    if cfg.level == 3:
+        return level3(cfg, sim, steps, escaping, esc_time, key)
+    raise ValueError(f"no scripted behavior for level {cfg.level}")

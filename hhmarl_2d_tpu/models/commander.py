@@ -1,0 +1,78 @@
+"""Hierarchical commander policy (recurrent, CTDE).
+
+Flax re-design of ``CommanderGru``
+(/root/reference/models/ac_models_hier.py:21-112): branch MLPs plus a
+200-unit GRU residual over the full observation for the actor, and a
+second GRU over the 3-agent joint (obs, act) embedding for the critic.
+One shared policy acts for all agents (train_hier.py:202).
+
+Inputs are [B, T, d]; hidden states [B, 200] x 2.  Rollout threads the GRU
+state with T=1; training replays whole sequences from the stored initial
+state, like RLlib's RecurrentNetwork sequencing.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hhmarl_2d_tpu import constants as C
+from hhmarl_2d_tpu.models.layers import SlimFC, l2_normalize
+
+GRU_SIZE = 200
+
+
+class _GRUOverTime(nn.Module):
+    @nn.compact
+    def __call__(self, x_bt, h0):
+        cell = nn.GRUCell(features=GRU_SIZE)
+        scan = nn.transforms.scan(
+            nn.GRUCell, variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1)
+        carry, ys = scan(features=GRU_SIZE, name="cell")(h0, x_bt)
+        return ys, carry
+
+
+class CommanderGru(nn.Module):
+    n_opp: int = C.N_OPP_HL
+
+    @nn.compact
+    def __call__(self, obs_own, obs_2, obs_3, act_own, act_2, act_3, h_act, h_val):
+        """Returns (logits [B,T,n_opp+1], value [B,T], (h_act', h_val'))."""
+        obs_dim = 14 + 10 * self.n_opp
+        assert obs_own.shape[-1] == obs_dim
+
+        shared = SlimFC(500, name="shared")
+
+        # actor (ac_models_hier.py:90-97)
+        x = jnp.concatenate(
+            [SlimFC(50, name="inp1")(obs_own[..., :4]),
+             SlimFC(200, name="inp2")(obs_own[..., 4:4 + 10 * self.n_opp]),
+             SlimFC(50, name="inp3")(obs_own[..., 4 + 10 * self.n_opp:])],
+            axis=-1)
+        x_full = SlimFC(200, name="inp4")(obs_own)
+        y, h_act_new = _GRUOverTime(name="rnn_act")(x_full, h_act)
+        x_full = l2_normalize(x_full + y)
+        x = shared(jnp.concatenate([x, x_full], axis=-1))
+        logits = SlimFC(self.n_opp + 1, activate=False, name="act_out")(x)
+
+        # centralized critic (ac_models_hier.py:99-105)
+        v1 = jnp.concatenate([obs_own, act_own], axis=-1)
+        v2 = jnp.concatenate([obs_2, act_2], axis=-1)
+        v3 = jnp.concatenate([obs_3, act_3], axis=-1)
+        z = jnp.concatenate([SlimFC(100, name="v1")(v1),
+                             SlimFC(100, name="v2")(v2),
+                             SlimFC(100, name="v3")(v3)], axis=-1)
+        z_full = SlimFC(200, name="v4")(
+            jnp.concatenate([v1, v2, v3], axis=-1))
+        w, h_val_new = _GRUOverTime(name="rnn_val")(z_full, h_val)
+        z_full = l2_normalize(z_full + w)
+        z = shared(jnp.concatenate([z, z_full], axis=-1))
+        value = SlimFC(1, activate=False, name="val_out")(z)
+        return logits, value[..., 0], (h_act_new, h_val_new)
+
+    @staticmethod
+    def initial_state(batch: int):
+        """[zeros(200), zeros(200)] (ac_models_hier.py:69-71)."""
+        return (jnp.zeros((batch, GRU_SIZE), jnp.float32),
+                jnp.zeros((batch, GRU_SIZE), jnp.float32))

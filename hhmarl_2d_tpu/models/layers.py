@@ -1,0 +1,60 @@
+"""Shared building blocks for the actor-critic models.
+
+The reference builds everything from RLlib ``SlimFC`` (orthogonal init +
+Tanh) plus torch ``MultiheadAttention``/``GRU`` residuals with row-wise L2
+normalization (models/ac_models_hetero.py:22-27,268-284).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class SlimFC(nn.Module):
+    """Dense + optional tanh with orthogonal kernel init (RLlib SlimFC)."""
+
+    features: int
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.features, kernel_init=nn.initializers.orthogonal(),
+                     bias_init=nn.initializers.zeros)(x)
+        return nn.tanh(x) if self.activate else x
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """torch.nn.functional.normalize(p=2): x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+class TimeAttention(nn.Module):
+    """Bidirectional self-attention over the episode time axis.
+
+    Equivalent to the reference's ``nn.MultiheadAttention(d, 2,
+    batch_first=True)`` applied to ``add_time_dimension`` sequences with no
+    mask (ac_models_hetero.py:268-270): full unmasked attention over the
+    whole sampled sequence.  Input/output [B, T, d].
+    """
+
+    features: int
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, x_bt, seg=None):
+        """``seg`` [B, T] (optional): episode segment ids; attention is
+        masked to same-segment positions so training chunks that span an
+        auto-reset boundary do not leak across episodes (RLlib sequences
+        never cross episodes either)."""
+        mask = None
+        if seg is not None:
+            same = seg[:, None, :, None] == seg[:, None, None, :]
+            mask = same  # [B, 1, T, T] broadcast over heads
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.features,
+            out_features=self.features,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )(x_bt, x_bt, mask=mask)

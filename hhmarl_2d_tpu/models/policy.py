@@ -1,0 +1,161 @@
+"""Policy wrappers: team acting, CTDE critic inputs, frozen opponents.
+
+Replaces three reference subsystems at once:
+ * RLlib policy mapping agent_id -> ac{id}_policy (train_hetero.py:240)
+ * the ``central_critic_observer`` + ``on_postprocess_trajectory`` CTDE
+   plumbing (train_hetero.py:113-181) -- here critic inputs are assembled
+   directly in the rollout, no post-hoc batch mutation
+ * the ``.pt`` export / manual ``_policy_actions`` inference path
+   (env_base.py:312-398) -- frozen opponents are param pytrees evaluated
+   in-graph with greedy argmax decoding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from hhmarl_2d_tpu import constants as C
+from hhmarl_2d_tpu.algo import distributions as D
+from hhmarl_2d_tpu.env import obs as O
+from hhmarl_2d_tpu.models import hetero
+
+
+def _nvec(ac_type):
+    return D.NVEC_AC1 if ac_type == 1 else D.NVEC_AC2
+
+
+def norm_actions(actions, ac_type):
+    """Normalized action columns the critic sees (train_hetero.py:140-160):
+    [a0/12, a1/8, a2] (+ [a3] for AC1)."""
+    a = actions.astype(jnp.float32)
+    cols = [a[..., 0] / 12.0, a[..., 1] / 8.0, a[..., 2]]
+    if ac_type == 1:
+        cols.append(a[..., 3])
+    return jnp.stack(cols, axis=-1)
+
+
+class LowLevelTeam:
+    """The two-policy team of the 2-vs-2 low-level stage: slot 0 is AC1,
+    slot 1 is AC2 (train_hetero.py docstring: ids 1->1, 2->2)."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+        self.models = {1: hetero.make_lowlevel_model(mode, 1),
+                       2: hetero.make_lowlevel_model(mode, 2)}
+        self.obs_dim = {t: hetero.obs_slices(mode, t)[0] for t in (1, 2)}
+
+    def init(self, key) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        params = {}
+        for t, k in ((1, k1), (2, k2)):
+            d_own, d_other, a_own, a_other = hetero.obs_slices(self.mode, t)
+            params[f"ac{t}"] = self.models[t].init(
+                k, jnp.zeros((1, 1, d_own)), jnp.zeros((1, 1, d_other)),
+                jnp.zeros((1, 1, a_own)), jnp.zeros((1, 1, a_other)))
+        return params
+
+    def _apply(self, params, t, obs_own, obs_other, act_own, act_other,
+               seg=None):
+        return self.models[t].apply(params[f"ac{t}"], obs_own, obs_other,
+                                    act_own, act_other, seg)
+
+    def forward(self, params, obs_pad, act_norm=None, seg=None):
+        """Evaluate both slots on [B, T, 2, OBS_PAD] padded team obs.
+
+        act_norm: optional normalized actions [B, T, 2, 4] for the critic
+        (training); zeros during rollout (the reference's observer fills
+        zeros pre-postprocessing, train_hetero.py:171-178).
+        Returns (logits [B,T,2,26-pad], values [B,T,2]).
+        """
+        B, T = obs_pad.shape[0], obs_pad.shape[1]
+        if act_norm is None:
+            act_norm = jnp.zeros((B, T, 2, 4), jnp.float32)
+        d1, d2 = self.obs_dim[1], self.obs_dim[2]
+        obs1, obs2 = obs_pad[..., 0, :d1], obs_pad[..., 1, :d2]
+        act1, act2 = act_norm[..., 0, :4], act_norm[..., 1, :3]
+        logits1, v1 = self._apply(params, 1, obs1, obs2, act1, act2, seg)
+        logits2, v2 = self._apply(params, 2, obs2, obs1, act2, act1, seg)
+        logits2 = jnp.pad(logits2, ((0, 0), (0, 0), (0, hetero.ACT_LOGITS_AC1
+                                                     - hetero.ACT_LOGITS_AC2)))
+        return (jnp.stack([logits1, logits2], axis=2),
+                jnp.stack([v1, v2], axis=2))
+
+    def act(self, params, obs_pad, key, greedy=False):
+        """Rollout acting on [B, 2, OBS_PAD] (T=1 internally).
+
+        Returns (actions [B,2,4] int32, log_prob [B,2], value [B,2],
+        logits [B,2,26]) -- logits are kept for the analytic KL penalty.
+        """
+        logits, values = self.forward(params, obs_pad[:, None])
+        logits, values = logits[:, 0], values[:, 0]
+        k1, k2 = jax.random.split(key)
+        out_a, out_lp = [], []
+        for slot, (t, k) in enumerate(((1, k1), (2, k2))):
+            nv = _nvec(t)
+            lg = logits[:, slot, :sum(nv)]
+            a = D.mode(lg, nv) if greedy else D.sample(lg, nv, k)
+            lp = D.log_prob(lg, nv, a)
+            out_a.append(D.pad_actions(a))
+            out_lp.append(lp)
+        return (jnp.stack(out_a, axis=1), jnp.stack(out_lp, axis=1), values,
+                logits)
+
+
+def make_frozen_opp_actor(opp_team_fight: LowLevelTeam,
+                          opp_team_esc: LowLevelTeam,
+                          bank: Dict[str, Any]):
+    """Build the OppActor for curriculum levels 4-5.
+
+    ``bank`` holds frozen params:
+      - "fight": pytree stacked over levels [L3, L4, L5] on the leading
+        axis (duplicate entries for levels not yet trained).  Level-4
+        training uses L3 (opp_level is pinned to 3 at reset); level-5 fight
+        training samples opp_level in {3,4,5} per episode
+        (env_base.py:318-328); escape training plays vs L5 fight
+        (env_base.py:329-331).
+      - "escape": single escape param set (used when opp_level == 5 in
+        fight mode).
+
+    The actor computes opponent observations in-graph and decodes greedily
+    (argmax of each categorical), matching _policy_actions
+    (env_base.py:373-382).
+    """
+
+    def actor(cfg, sim, opp_level, key):
+        del key  # greedy decode
+        n, na = cfg.n_slots, cfg.num_agents
+        idx = jnp.clip(opp_level - 3, 0, 2)
+        fight_params = jax.tree_util.tree_map(lambda x: x[idx], bank["fight"])
+
+        obs_f, tgt_f, _ = O.lowlevel_side_obs(cfg, sim, "fight", "opp")
+        obs_e, tgt_e, _ = O.lowlevel_side_obs(cfg, sim, "esc", "opp")
+
+        def team_actions(team, params, obs_side):
+            logits, _ = team.forward(params, obs_side[None, None])
+            logits = logits[0, 0]
+            acts = []
+            for slot, t in enumerate((1, 2)):
+                nv = _nvec(t)
+                acts.append(D.pad_actions(D.mode(logits[slot, :sum(nv)], nv)))
+            return jnp.stack(acts)
+
+        acts_f = team_actions(opp_team_fight, fight_params, obs_f)
+        acts_e = team_actions(opp_team_esc, bank["escape"], obs_e)
+
+        # escape opponents only exist in fight-mode L5 episodes; escape
+        # training always faces L5 *fight* opponents (env_base.py:329-331)
+        if cfg.agent_mode == "fight":
+            use_esc = opp_level == 5
+        else:
+            use_esc = jnp.asarray(False)
+        acts = jnp.where(use_esc, acts_e, acts_f)
+        tgts = jnp.where(use_esc, tgt_e, tgt_f)
+
+        full_acts = jnp.zeros((n, 4), jnp.int32).at[na:].set(acts)
+        full_tgts = jnp.full((n,), -1, jnp.int32).at[na:].set(tgts)
+        return full_acts, full_tgts
+
+    return actor
