@@ -7,8 +7,9 @@ second GRU over the 3-agent joint (obs, act) embedding for the critic.
 One shared policy acts for all agents (train_hier.py:202).
 
 Inputs are [B, T, d]; hidden states [B, 200] x 2.  Rollout threads the GRU
-state with T=1; training replays whole sequences from the stored initial
-state, like RLlib's RecurrentNetwork sequencing.
+state with T=1; training replays sequence chunks from their stored initial
+states, with the carry reset to zeros at episode boundaries (``reset``
+mask) -- the RLlib RecurrentNetwork sequencing equivalent.
 """
 
 from __future__ import annotations
@@ -22,14 +23,26 @@ from hhmarl_2d_tpu.models.layers import SlimFC, l2_normalize
 GRU_SIZE = 200
 
 
+class _ResetGRUCell(nn.Module):
+    """GRUCell whose carry is zeroed where the step's reset flag is set."""
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        x, r = xs
+        carry = jnp.where(r[..., None], jnp.zeros_like(carry), carry)
+        carry, y = nn.GRUCell(features=GRU_SIZE, name="cell")(carry, x)
+        return carry, y
+
+
 class _GRUOverTime(nn.Module):
     @nn.compact
-    def __call__(self, x_bt, h0):
-        cell = nn.GRUCell(features=GRU_SIZE)
+    def __call__(self, x_bt, h0, reset=None):
+        if reset is None:
+            reset = jnp.zeros(x_bt.shape[:2], dtype=bool)
         scan = nn.transforms.scan(
-            nn.GRUCell, variable_broadcast="params", split_rngs={"params": False},
-            in_axes=1, out_axes=1)
-        carry, ys = scan(features=GRU_SIZE, name="cell")(h0, x_bt)
+            _ResetGRUCell, variable_broadcast="params",
+            split_rngs={"params": False}, in_axes=1, out_axes=1)
+        carry, ys = scan(name="scan")(h0, (x_bt, reset))
         return ys, carry
 
 
@@ -37,7 +50,8 @@ class CommanderGru(nn.Module):
     n_opp: int = C.N_OPP_HL
 
     @nn.compact
-    def __call__(self, obs_own, obs_2, obs_3, act_own, act_2, act_3, h_act, h_val):
+    def __call__(self, obs_own, obs_2, obs_3, act_own, act_2, act_3,
+                 h_act, h_val, reset=None):
         """Returns (logits [B,T,n_opp+1], value [B,T], (h_act', h_val'))."""
         obs_dim = 14 + 10 * self.n_opp
         assert obs_own.shape[-1] == obs_dim
@@ -51,7 +65,7 @@ class CommanderGru(nn.Module):
              SlimFC(50, name="inp3")(obs_own[..., 4 + 10 * self.n_opp:])],
             axis=-1)
         x_full = SlimFC(200, name="inp4")(obs_own)
-        y, h_act_new = _GRUOverTime(name="rnn_act")(x_full, h_act)
+        y, h_act_new = _GRUOverTime(name="rnn_act")(x_full, h_act, reset)
         x_full = l2_normalize(x_full + y)
         x = shared(jnp.concatenate([x, x_full], axis=-1))
         logits = SlimFC(self.n_opp + 1, activate=False, name="act_out")(x)
@@ -65,7 +79,7 @@ class CommanderGru(nn.Module):
                              SlimFC(100, name="v3")(v3)], axis=-1)
         z_full = SlimFC(200, name="v4")(
             jnp.concatenate([v1, v2, v3], axis=-1))
-        w, h_val_new = _GRUOverTime(name="rnn_val")(z_full, h_val)
+        w, h_val_new = _GRUOverTime(name="rnn_val")(z_full, h_val, reset)
         z_full = l2_normalize(z_full + w)
         z = shared(jnp.concatenate([z, z_full], axis=-1))
         value = SlimFC(1, activate=False, name="val_out")(z)

@@ -25,9 +25,17 @@ class SlimFC(nn.Module):
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch.nn.functional.normalize(p=2): x / max(||x||, eps)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize(p=2) with a smooth norm.
+
+    ``sqrt(sum(x^2) + eps)`` instead of ``max(||x||, eps)``: identical to
+    within 1e-6 for any non-degenerate row, but with a finite gradient at
+    x == 0.  Dead agents produce all-zero observation rows, and at
+    initialization (zero biases) those rows reach this residual normalize
+    as exactly zero -- jnp.linalg.norm's 0/0 gradient would poison the
+    whole batch with NaNs there.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(sq + eps)
 
 
 class TimeAttention(nn.Module):
