@@ -1,0 +1,144 @@
+"""Command-line configuration.
+
+Mirrors the reference's ``Config`` argparse surface
+(/root/reference/config.py:5-111) -- mode 0 = low-level training, 1 =
+commander training, 2 = evaluation -- with proper boolean flags (the
+reference's ``type=bool`` flags treat any string as True; not replicated)
+plus the TPU-specific scale knobs (num_envs, rollout_len, ...).
+
+Curriculum auto-chaining (config.py:65-92) is preserved: level-N fight
+restores from level N-1, escape restores from L3, and escape training
+auto-promotes its level to 5 once an L3 escape run exists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from hhmarl_2d_tpu import constants as C
+from hhmarl_2d_tpu.env import config as ECfg
+
+
+def build_parser(mode: int) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="HHMARL 2D TPU training config")
+    bool_flag = argparse.BooleanOptionalAction
+
+    p.add_argument("--level", type=int, default=1, help="Training level")
+    p.add_argument("--agent_mode", type=str, default="fight",
+                   choices=("fight", "escape"))
+    p.add_argument("--num_agents", type=int, default=2 if mode == 0 else 3)
+    p.add_argument("--num_opps", type=int, default=2 if mode == 0 else 3)
+    p.add_argument("--hier_opp_fight_ratio", type=int, default=75)
+
+    p.add_argument("--eval", action=bool_flag, default=True)
+    p.add_argument("--render", action=bool_flag, default=False)
+    p.add_argument("--restore", action=bool_flag, default=False)
+    p.add_argument("--restore_path", type=str, default=None)
+    p.add_argument("--log_name", type=str, default=None)
+    p.add_argument("--log_base", type=str, default=None,
+                   help="Results root (default <repo>/results)")
+
+    p.add_argument("--epochs", type=int, default=10000,
+                   help="Training iterations")
+    p.add_argument("--batch_size", type=int,
+                   default=2000 if mode == 0 else 1000,
+                   help="(reference parity knob; informational)")
+    p.add_argument("--map_size", type=float,
+                   default=C.DEFAULT_MAP_SIZE_LL if mode == 0
+                   else C.DEFAULT_MAP_SIZE_HL)
+
+    # rewards
+    p.add_argument("--glob_frac", type=float, default=0.0)
+    p.add_argument("--rew_scale", type=float, default=1.0)
+    p.add_argument("--esc_dist_rew", action=bool_flag, default=False)
+    p.add_argument("--hier_action_assess", action=bool_flag, default=True)
+    p.add_argument("--friendly_kill", action=bool_flag, default=True)
+    p.add_argument("--friendly_punish", action=bool_flag, default=False)
+
+    # eval
+    p.add_argument("--eval_info", action=bool_flag, default=(mode == 2))
+    p.add_argument("--eval_hl", action=bool_flag, default=True)
+    p.add_argument("--eval_level_ag", type=int, default=5)
+    p.add_argument("--eval_level_opp", type=int, default=4)
+    p.add_argument("--n_evals", type=int, default=1000)
+
+    # TPU scale knobs (replace --num_workers/--gpu)
+    p.add_argument("--num_envs", type=int, default=512 if mode == 0 else 128)
+    p.add_argument("--rollout_len", type=int, default=128 if mode == 0 else 64)
+    p.add_argument("--seq_len", type=int, default=16 if mode == 0 else 8)
+    p.add_argument("--sgd_iters", type=int, default=4)
+    p.add_argument("--num_minibatches", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--checkpoint_every", type=int, default=50)
+    p.add_argument("--render_every", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def finalize(args, mode: int):
+    """set_metrics equivalent (config.py:59-107)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    args.log_base = args.log_base or os.path.join(repo_root, "results")
+    args.policy_dir = os.path.join(repo_root, "policies")
+
+    if mode == 0:
+        # escape auto-promotion (config.py:86-92)
+        if args.agent_mode == "escape":
+            if os.path.exists(os.path.join(
+                    args.log_base, "L3_escape_2-vs-2")):
+                args.level = 5
+            else:
+                args.level = 3
+        args.log_name = args.log_name or (
+            f"L{args.level}_{args.agent_mode}_"
+            f"{args.num_agents}-vs-{args.num_opps}")
+        args.horizon = C.HORIZON_LEVEL[args.level]
+    else:
+        args.log_name = args.log_name or (
+            f"Commander_{args.num_agents}_vs_{args.num_opps}")
+        args.horizon = C.HORIZON_HL
+
+    args.log_path = os.path.join(args.log_base, args.log_name)
+
+    # restore chaining (config.py:65-84)
+    if mode == 0 and not args.restore:
+        if args.agent_mode == "fight":
+            prev = os.path.join(
+                args.log_base,
+                f"L{args.level - 1}_fight_{args.num_agents}-vs-{args.num_opps}")
+            if os.path.exists(prev):
+                args.restore = True
+                args.restore_path = args.restore_path or os.path.join(
+                    prev, "checkpoint")
+        else:
+            prev = os.path.join(
+                args.log_base,
+                f"L3_escape_{args.num_agents}-vs-{args.num_opps}")
+            if args.level == 5 and os.path.exists(prev):
+                args.restore = True
+                args.restore_path = args.restore_path or os.path.join(
+                    prev, "checkpoint")
+
+    if mode == 2 and args.eval_hl:
+        args.eval_level_ag = args.eval_level_opp = 5
+
+    return args
+
+
+def to_env_config(args, mode: int) -> ECfg.EnvConfig:
+    return ECfg.EnvConfig(
+        num_agents=args.num_agents, num_opps=args.num_opps,
+        map_size=args.map_size, level=args.level,
+        agent_mode=args.agent_mode, horizon=args.horizon,
+        glob_frac=args.glob_frac, rew_scale=args.rew_scale,
+        esc_dist_rew=args.esc_dist_rew, friendly_kill=args.friendly_kill,
+        friendly_punish=args.friendly_punish,
+        hier_opp_fight_ratio=args.hier_opp_fight_ratio,
+        hier_action_assess=args.hier_action_assess)
+
+
+def parse(mode: int, argv=None):
+    args = build_parser(mode).parse_args(argv)
+    return finalize(args, mode)

@@ -1,0 +1,98 @@
+"""Commander (high-level) training driver.
+
+Replaces /root/reference/train_hier.py: trains the shared CommanderGru
+policy on the 3-vs-3 hierarchical env with the frozen low-level policies
+embedded in the env step.
+
+Usage: python -m hhmarl_2d_tpu.cli.train_high [--epochs N ...]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+
+from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO, HierPPOConfig
+from hhmarl_2d_tpu.cli import args as ARGS
+from hhmarl_2d_tpu.env import highlevel
+from hhmarl_2d_tpu.eval.episodes import run_episode_highlevel
+from hhmarl_2d_tpu.models import policy as P
+from hhmarl_2d_tpu.render.plotter import plot_episode
+from hhmarl_2d_tpu.utils import checkpoint as CKPT
+from hhmarl_2d_tpu.utils.metrics import MetricsLogger
+
+
+def build_hl_bank(args):
+    """_get_policies("HighLevel") (env_base.py:332-346): agents use
+    L{eval_level_ag} fight and L5 (or L3) escape policies."""
+    team_f = P.LowLevelTeam("fight")
+    team_e = P.LowLevelTeam("escape")
+    f_tmpl = team_f.init(jax.random.PRNGKey(0))
+    e_tmpl = team_e.init(jax.random.PRNGKey(0))
+    root = args.policy_dir
+
+    fight = CKPT.load_policy(root, args.eval_level_ag, "fight", f_tmpl)
+    try:
+        esc = CKPT.load_policy(root, 5, "escape", e_tmpl)
+    except Exception:
+        esc = CKPT.load_policy(root, 3, "escape", e_tmpl)
+
+    fight_opp = fight
+    if not args.eval_hl:
+        fight_opp = CKPT.load_policy(root, args.eval_level_opp, "fight",
+                                     f_tmpl)
+    return highlevel.make_hl_bank(team_f, team_e, fight, esc, fight_opp)
+
+
+def main(argv=None):
+    from hhmarl_2d_tpu.utils.platform import ensure_platform
+    ensure_platform()
+    args = ARGS.parse(1, argv)
+    cfg = ARGS.to_env_config(args, 1)
+    bank = build_hl_bank(args)
+    ppo = HierPPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
+                        seq_len=args.seq_len, sgd_iters=args.sgd_iters,
+                        num_minibatches=args.num_minibatches, lr=args.lr)
+    trainer = CommanderPPO(cfg, ppo, bank)
+    ts, env_state, obs, h = trainer.init(jax.random.PRNGKey(args.seed))
+
+    ckpt_dir = os.path.join(args.log_path, "checkpoint")
+    if args.restore:
+        path = args.restore_path or ckpt_dir
+        ts = CKPT.restore_train_state(path, ts)
+        print(f"restored from {path}", flush=True)
+
+    logger = MetricsLogger(args.log_path)
+    print(f"--- training {args.log_name}: {ppo.num_envs} envs x "
+          f"{ppo.rollout_len} macro-steps per iter ---", flush=True)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs + 1):
+        key, k = jax.random.split(key)
+        ts, env_state, obs, h, metrics = trainer.train_iter(
+            ts, env_state, obs, h, k)
+        if epoch % 10 == 0:
+            m = {k2: float(v) for k2, v in metrics.items()}
+            print(f"{epoch}) reward={m['reward_mean']:.3f} "
+                  f"wins={int(m['agents_win'])} losses={int(m['opps_win'])} "
+                  f"draws={int(m['draw'])} kl={m['kl']:.4f}", flush=True)
+            logger.log(epoch, m)
+
+        if epoch and epoch % args.checkpoint_every == 0:
+            CKPT.save_train_state(ckpt_dir, epoch, ts)
+            if args.eval and epoch % args.render_every == 0:
+                rew, steps, info, trace = run_episode_highlevel(
+                    cfg, trainer.model, ts.params, bank,
+                    jax.random.fold_in(key, epoch))
+                png = os.path.join(args.log_path,
+                                   f"Ep_{epoch}_It_{steps}_Rew_{round(rew, 3)}.png")
+                plot_episode(trace, png, status=f"epoch {epoch} rew {rew:.2f}")
+                print(f"  eval episode: rew={rew:.2f} macro-steps={steps}",
+                      flush=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Low-level heterogeneous training driver.
+
+Replaces /root/reference/train_hetero.py: curriculum levels 1-5 with
+cross-level restore chaining, periodic checkpoints, frozen policy export
+(from level 3 on) for fictitious self-play, and rendered evaluation
+episodes.
+
+Usage: python -m hhmarl_2d_tpu.cli.train_low --level 1 [--epochs N ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+from hhmarl_2d_tpu.cli import args as ARGS
+from hhmarl_2d_tpu.eval.episodes import run_episode_lowlevel
+from hhmarl_2d_tpu.models import policy as P
+from hhmarl_2d_tpu.render.plotter import plot_episode
+from hhmarl_2d_tpu.utils import checkpoint as CKPT
+from hhmarl_2d_tpu.utils.metrics import MetricsLogger
+
+
+def build_opp_actor(args, team_fight_tmpl, team_esc_tmpl):
+    """Assemble the frozen-policy bank for levels 4-5
+    (_get_policies LowLevel, env_base.py:318-331)."""
+    if args.level < 4:
+        return None
+    root = args.policy_dir
+    f_tmpl = team_fight_tmpl.init(jax.random.PRNGKey(0))
+    e_tmpl = team_esc_tmpl.init(jax.random.PRNGKey(0))
+
+    def load_fight(level, fallback):
+        try:
+            return CKPT.load_policy(root, level, "fight", f_tmpl)
+        except Exception:
+            return fallback
+
+    l3 = load_fight(3, None)
+    if l3 is None:
+        raise FileNotFoundError(
+            f"level {args.level} needs exported L3 fight policies in {root}")
+    l4 = load_fight(4, l3)
+    l5 = load_fight(5, l4)
+    if args.agent_mode == "escape":
+        # escape-vs-L5-fight (env_base.py:329-331)
+        fight_bank = CKPT.stack_fight_bank([l5, l5, l5])
+    else:
+        fight_bank = CKPT.stack_fight_bank([l3, l4, l5])
+    try:
+        esc = CKPT.load_policy(root, 3, "escape", e_tmpl)
+    except Exception:
+        esc = e_tmpl  # L5-fight only; untrained escape fallback
+    bank = {"fight": fight_bank, "escape": esc}
+    return P.make_frozen_opp_actor(team_fight_tmpl, team_esc_tmpl, bank)
+
+
+def main(argv=None):
+    from hhmarl_2d_tpu.utils.platform import ensure_platform
+    ensure_platform()
+    args = ARGS.parse(0, argv)
+    cfg = ARGS.to_env_config(args, 0)
+    ppo = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
+                    seq_len=args.seq_len, sgd_iters=args.sgd_iters,
+                    num_minibatches=args.num_minibatches, lr=args.lr)
+
+    team = P.LowLevelTeam(args.agent_mode)
+    team_fight = team if args.agent_mode == "fight" else P.LowLevelTeam("fight")
+    team_esc = team if args.agent_mode == "escape" else P.LowLevelTeam("escape")
+    opp_actor = build_opp_actor(args, team_fight, team_esc)
+
+    trainer = LowLevelPPO(cfg, ppo, team=team, opp_actor=opp_actor)
+    ts, env_state, obs = trainer.init(jax.random.PRNGKey(args.seed))
+
+    ckpt_dir = os.path.join(args.log_path, "checkpoint")
+    if args.restore:
+        path = args.restore_path or ckpt_dir
+        ts = CKPT.restore_train_state(path, ts)
+        print(f"restored from {path}", flush=True)
+
+    logger = MetricsLogger(args.log_path)
+    print(f"--- training {args.log_name}: level {args.level} "
+          f"{args.agent_mode}, {ppo.num_envs} envs x {ppo.rollout_len} steps "
+          f"per iter ---", flush=True)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t_acc = 0.0
+    for epoch in range(args.epochs + 1):
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        ts, env_state, obs, metrics = trainer.train_iter(ts, env_state, obs, k)
+        if epoch == 0:
+            jax.block_until_ready(metrics["reward_mean"])
+        t_acc += time.time() - t0
+
+        if epoch % 10 == 0:
+            m = {k2: float(v) for k2, v in metrics.items()}
+            sps = ppo.num_envs * ppo.rollout_len * (epoch + 1) / max(t_acc, 1e-9)
+            print(f"{epoch}) reward={m['reward_mean']:.3f} "
+                  f"wins={int(m['agents_win'])} losses={int(m['opps_win'])} "
+                  f"draws={int(m['draw'])} kl={m['kl_1']:.4f} "
+                  f"| {sps:,.0f} steps/s", flush=True)
+            logger.log(epoch, m)
+
+        if epoch and epoch % args.checkpoint_every == 0:
+            CKPT.save_train_state(ckpt_dir, epoch, ts)
+            if args.level >= 3:
+                CKPT.export_policy(args.policy_dir, args.level,
+                                   args.agent_mode, ts.params)
+            if args.eval and epoch % args.render_every == 0:
+                rew, steps, info, trace = run_episode_lowlevel(
+                    cfg, team, ts.params, jax.random.fold_in(key, epoch),
+                    opp_actor)
+                png = os.path.join(
+                    args.log_path,
+                    f"Ep_{epoch}_It_{steps}_Lv{args.level}_Rew_{round(rew, 3)}.png")
+                plot_episode(trace, png, status=f"epoch {epoch} rew {rew:.2f}")
+                print(f"  eval episode: rew={rew:.2f} steps={steps} -> {png}",
+                      flush=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Batched n-vs-m evaluation producing the reference's metrics JSON.
+
+Replaces /root/reference/evaluation.py: instead of 1000 sequential
+episodes, all episodes run as one vmapped batch on device; per-step eval
+info counters (env_base.py:91-107) accumulate in-graph and are
+post-processed into the same ``Metrics_*.json`` schema
+(evaluation.py:66-82): win/lose/draw %, fight/escape usage %, and
+per-opponent selection %.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hhmarl_2d_tpu.env import highlevel
+from hhmarl_2d_tpu.models.commander import GRU_SIZE
+from hhmarl_2d_tpu.eval.episodes import _commander_forward
+
+STAT_KEYS = ("agents_win", "opps_win", "draw", "agent_fight", "agent_escape",
+             "opp_fight", "opp_escape", "agent_steps", "opp_steps",
+             "opp1", "opp2", "opp3")
+
+# Upper bound on commander macro-steps per episode: every macro action runs
+# at least HL_MIN_SUB_STEPS+2 ticks unless it ends in a kill/OOB event, and
+# there are at most total_num such events per episode.
+MAX_MACRO = 64
+
+
+def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
+                       eval_hl: bool = True,
+                       fixed_action: int = 1):
+    """Run ``n_episodes`` commander episodes in lockstep.
+
+    eval_hl=False bypasses the commander and always assigns the closest
+    opponent (evaluation.py:50-52).
+    Returns the accumulated eval_stats dict (plus total_n_actions).
+    """
+    na = cfg.num_agents
+
+    def one_episode(k):
+        st, obs = highlevel.reset(cfg, k)
+        h = jnp.zeros((na, 2, GRU_SIZE))
+
+        def step_fn(carry, kk):
+            st, obs, h, done_seen, stats, n_actions = carry
+            if eval_hl:
+                logits, _, h_new = _commander_forward(model, params, obs, h, na)
+                a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                a = jnp.full((na,), fixed_action, jnp.int32)
+                h_new = h
+            st2, obs2, rew, done, info = highlevel.step(cfg, st, a, bank, kk)
+            keep = ~done_seen
+            st = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(jnp.reshape(keep, (1,) * x.ndim)
+                                       if x.ndim else keep, y, x), st, st2)
+            obs = jnp.where(keep, obs2, obs)
+            h = jnp.where(keep, h_new, h)
+            stats = {kname: stats[kname] + jnp.where(keep, info[kname], 0)
+                     for kname in STAT_KEYS}
+            n_actions = n_actions + keep.astype(jnp.int32)
+            return (st, obs, h, done_seen | done, stats, n_actions), None
+
+        stats0 = {kname: jnp.asarray(0, jnp.int32) for kname in STAT_KEYS}
+        keys = jax.random.split(jax.random.fold_in(k, 1), MAX_MACRO)
+        (st, obs, h, done, stats, n_actions), _ = jax.lax.scan(
+            step_fn, (st, obs, h, jnp.asarray(False), stats0,
+                      jnp.asarray(0, jnp.int32)), keys)
+        stats["total_n_actions"] = n_actions
+        stats["finished"] = done.astype(jnp.int32)
+        return stats
+
+    keys = jax.random.split(key, n_episodes)
+    stats = jax.jit(jax.vmap(one_episode))(keys)
+    return {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+
+
+def postprocess_eval(ev: dict, n_evals: int,
+                     eval_file: Optional[str] = None) -> dict:
+    """evaluation.py:66-82."""
+    def pct(a, b):
+        return (a / b) * 100 if b else 0.0
+
+    evals = {
+        "win": pct(ev["agents_win"], n_evals),
+        "lose": pct(ev["opps_win"], n_evals),
+        "draw": pct(ev["draw"], n_evals),
+        "fight": pct(ev["agent_fight"], ev["agent_steps"]),
+        "esc": pct(ev["agent_escape"], ev["agent_steps"]),
+        "fight_opp": pct(ev["opp_fight"], ev["opp_steps"]),
+        "esc_opp": pct(ev["opp_escape"], ev["opp_steps"]),
+        "opp1": pct(ev["opp1"], ev["agent_fight"]),
+        "opp2": pct(ev["opp2"], ev["agent_fight"]),
+        "opp3": pct(ev["opp3"], ev["agent_fight"]),
+    }
+    if eval_file:
+        with open(eval_file, "w") as f:
+            json.dump(evals, f, indent=3)
+    return evals
