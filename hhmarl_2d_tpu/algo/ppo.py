@@ -190,7 +190,7 @@ class LowLevelPPO:
 
     # --- one training iteration -------------------------------------------
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    @partial(jax.jit, static_argnums=0)
     def train_iter(self, ts: TrainState, env_state, obs, key):
         k_roll, k_shuf = jax.random.split(key)
         env_state, obs_last, traj = self._rollout(ts, env_state, obs, k_roll)

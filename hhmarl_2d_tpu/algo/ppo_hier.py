@@ -198,7 +198,7 @@ class CommanderPPO:
 
     # --- train iteration ---------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
+    @partial(jax.jit, static_argnums=0)
     def train_iter(self, ts, env_state, obs, h, key):
         k_roll, k_shuf = jax.random.split(key)
         env_state, obs_last, h_last, traj = self._rollout(

@@ -106,6 +106,6 @@ def sort_enemies(dist_norm_row, enemy_mask):
     closest alive enemy; ``valid[k]`` False past the last one.
     """
     masked = jnp.where(enemy_mask, dist_norm_row, jnp.inf)
-    order = jnp.argsort(masked)
+    order = jnp.argsort(masked).astype(jnp.int32)
     valid = jnp.take(enemy_mask, order)
     return order, valid

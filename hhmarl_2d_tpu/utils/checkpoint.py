@@ -64,8 +64,7 @@ def load_policy(root: str, level: int, mode: str, template: Any) -> Any:
     out = {}
     for t in (1, 2):
         p = os.path.abspath(policy_path(root, level, t, mode))
-        out[f"ac{t}"] = ckptr.restore(p, args=ocp.args.StandardRestore(
-            template[f"ac{t}"]))
+        out[f"ac{t}"] = ckptr.restore(p, template[f"ac{t}"])
     return out
 
 
