@@ -275,6 +275,7 @@ def step(cfg, state: HLState, commander_actions, bank, key):
     }
     for k in range(1, 4):
         info[f"opp{k}"] = jnp.sum(a_alive & (ca[:na] == k))
+    info = {k: v.astype(jnp.int32) for k, v in info.items()}
 
     obs, lists, valids, dists = hl_obs.commander_obs(cfg, sim)
     next_state = HLState(sim=sim, steps=steps, lists=lists, valids=valids,

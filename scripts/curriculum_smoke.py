@@ -27,6 +27,20 @@ from hhmarl_2d_tpu.models import policy as P
 from hhmarl_2d_tpu.utils import checkpoint as CKPT
 
 
+def _retry(fn, *a, **kw):
+    """Retry transient remote-compile/tunnel failures."""
+    for attempt in range(4):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # jax.errors.JaxRuntimeError on tunnel blips
+            if "remote_compile" not in str(e) and "INTERNAL" not in str(e):
+                raise
+            print(f"[retry] transient backend error (attempt {attempt}): "
+                  f"{str(e)[:120]}", flush=True)
+            time.sleep(20)
+    return fn(*a, **kw)
+
+
 def train_low_stage(name, cfg, ppo, team, opp_actor, iters, seed, restore_params=None):
     tr = LowLevelPPO(cfg, ppo, team=team, opp_actor=opp_actor)
     ts, env_state, obs = tr.init(jax.random.PRNGKey(seed))
@@ -36,7 +50,7 @@ def train_low_stage(name, cfg, ppo, team, opp_actor, iters, seed, restore_params
     t0 = time.time()
     for i in range(iters):
         key, k = jax.random.split(key)
-        ts, env_state, obs, m = tr.train_iter(ts, env_state, obs, k)
+        ts, env_state, obs, m = _retry(tr.train_iter, ts, env_state, obs, k)
         if i == 0:
             jax.block_until_ready(m["reward_mean"])
             print(f"[{name}] compiled in {time.time()-t0:.0f}s", flush=True)
@@ -55,6 +69,8 @@ def main():
     ap.add_argument("--rollout_len", type=int, default=128)
     ap.add_argument("--out", type=str, default="/tmp/hhmarl/curriculum")
     ap.add_argument("--n_evals", type=int, default=256)
+    ap.add_argument("--start", type=str, default="L1",
+                    choices=("L1", "esc", "L4", "L5", "HL"))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     pol_dir = os.path.join(args.out, "policies")
@@ -64,43 +80,52 @@ def main():
     team_f = P.LowLevelTeam("fight")
     team_e = P.LowLevelTeam("escape")
 
+    stages = ("L1", "esc", "L4", "L5", "HL")
+    stage_i = stages.index(args.start)
+
     # --- L1 -> L2 -> L3 with restore chaining --------------------------------
     params = None
-    for level in (1, 2, 3):
-        cfg = ECfg.make_lowlevel_config(level=level)
-        ts = train_low_stage(f"L{level}", cfg, ppo, team_f, None, args.iters,
-                             seed=level, restore_params=params)
-        params = ts.params
-    CKPT.export_policy(pol_dir, 3, "fight", params)
-    print("[export] L3 fight", flush=True)
+    if stage_i <= 0:
+        for level in (1, 2, 3):
+            cfg = ECfg.make_lowlevel_config(level=level)
+            ts = train_low_stage(f"L{level}", cfg, ppo, team_f, None,
+                                 args.iters, seed=level, restore_params=params)
+            params = ts.params
+        CKPT.export_policy(pol_dir, 3, "fight", params)
+        print("[export] L3 fight", flush=True)
 
     # --- escape (L3 schedule: vs scripted L3 opponents) ----------------------
-    cfg_esc = ECfg.make_lowlevel_config(level=3, agent_mode="escape")
-    ts_esc = train_low_stage("L3esc", cfg_esc, ppo, team_e, None,
-                             args.iters // 2, seed=13)
-    CKPT.export_policy(pol_dir, 3, "escape", ts_esc.params)
-    print("[export] L3 escape", flush=True)
+    if stage_i <= 1:
+        cfg_esc = ECfg.make_lowlevel_config(level=3, agent_mode="escape")
+        ts_esc = train_low_stage("L3esc", cfg_esc, ppo, team_e, None,
+                                 args.iters // 2, seed=13)
+        CKPT.export_policy(pol_dir, 3, "escape", ts_esc.params)
+        print("[export] L3 escape", flush=True)
 
     # --- L4: vs frozen L3 ----------------------------------------------------
     f_tmpl = team_f.init(jax.random.PRNGKey(0))
     e_tmpl = team_e.init(jax.random.PRNGKey(0))
     l3 = CKPT.load_policy(pol_dir, 3, "fight", f_tmpl)
     esc3 = CKPT.load_policy(pol_dir, 3, "escape", e_tmpl)
-    bank = {"fight": CKPT.stack_fight_bank([l3, l3, l3]), "escape": esc3}
-    opp_actor = P.make_frozen_opp_actor(team_f, team_e, bank)
-    cfg4 = ECfg.make_lowlevel_config(level=4)
-    ts4 = train_low_stage("L4", cfg4, ppo, team_f, opp_actor,
-                          args.iters // 2, seed=4, restore_params=params)
-    CKPT.export_policy(pol_dir, 4, "fight", ts4.params)
+    if params is None:
+        params = l3
+    if stage_i <= 2:
+        bank = {"fight": CKPT.stack_fight_bank([l3, l3, l3]), "escape": esc3}
+        opp_actor = P.make_frozen_opp_actor(team_f, team_e, bank)
+        cfg4 = ECfg.make_lowlevel_config(level=4)
+        ts4 = train_low_stage("L4", cfg4, ppo, team_f, opp_actor,
+                              args.iters // 2, seed=4, restore_params=params)
+        CKPT.export_policy(pol_dir, 4, "fight", ts4.params)
 
     # --- L5: vs sampled frozen L3/L4/escape ----------------------------------
     l4 = CKPT.load_policy(pol_dir, 4, "fight", f_tmpl)
-    bank5 = {"fight": CKPT.stack_fight_bank([l3, l4, l4]), "escape": esc3}
-    opp_actor5 = P.make_frozen_opp_actor(team_f, team_e, bank5)
-    cfg5 = ECfg.make_lowlevel_config(level=5)
-    ts5 = train_low_stage("L5", cfg5, ppo, team_f, opp_actor5,
-                          args.iters // 2, seed=5, restore_params=ts4.params)
-    CKPT.export_policy(pol_dir, 5, "fight", ts5.params)
+    if stage_i <= 3:
+        bank5 = {"fight": CKPT.stack_fight_bank([l3, l4, l4]), "escape": esc3}
+        opp_actor5 = P.make_frozen_opp_actor(team_f, team_e, bank5)
+        cfg5 = ECfg.make_lowlevel_config(level=5)
+        ts5 = train_low_stage("L5", cfg5, ppo, team_f, opp_actor5,
+                              args.iters // 2, seed=5, restore_params=l4)
+        CKPT.export_policy(pol_dir, 5, "fight", ts5.params)
     l5 = CKPT.load_policy(pol_dir, 5, "fight", f_tmpl)
 
     # --- commander on top ----------------------------------------------------
@@ -114,8 +139,8 @@ def main():
     t0 = time.time()
     for i in range(args.iters // 2):
         key, k = jax.random.split(key)
-        ts_c, env_state, obs, h, m = trainer.train_iter(
-            ts_c, env_state, obs, h, k)
+        ts_c, env_state, obs, h, m = _retry(
+            trainer.train_iter, ts_c, env_state, obs, h, k)
         if i == 0:
             jax.block_until_ready(m["reward_mean"])
             print(f"[HL] compiled in {time.time()-t0:.0f}s", flush=True)
