@@ -22,6 +22,7 @@ from hhmarl_2d_tpu.models import policy as P
 from hhmarl_2d_tpu.render.plotter import plot_episode
 from hhmarl_2d_tpu.utils import checkpoint as CKPT
 from hhmarl_2d_tpu.utils.metrics import MetricsLogger
+from hhmarl_2d_tpu.utils.resilience import with_retries
 
 
 def build_hl_bank(args):
@@ -71,8 +72,10 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs + 1):
         key, k = jax.random.split(key)
-        ts, env_state, obs, h, metrics = trainer.train_iter(
-            ts, env_state, obs, h, k)
+        ts, env_state, obs, h, metrics = with_retries(
+            trainer.train_iter, ts, env_state, obs, h, k,
+            on_retry=lambda a, e: print(f"transient backend error, retry {a}",
+                                        flush=True))
         if epoch % 10 == 0:
             m = {k2: float(v) for k2, v in metrics.items()}
             print(f"{epoch}) reward={m['reward_mean']:.3f} "

@@ -24,6 +24,7 @@ from hhmarl_2d_tpu.models import policy as P
 from hhmarl_2d_tpu.render.plotter import plot_episode
 from hhmarl_2d_tpu.utils import checkpoint as CKPT
 from hhmarl_2d_tpu.utils.metrics import MetricsLogger
+from hhmarl_2d_tpu.utils.resilience import with_retries
 
 
 def build_opp_actor(args, team_fight_tmpl, team_esc_tmpl):
@@ -93,7 +94,10 @@ def main(argv=None):
     for epoch in range(args.epochs + 1):
         key, k = jax.random.split(key)
         t0 = time.time()
-        ts, env_state, obs, metrics = trainer.train_iter(ts, env_state, obs, k)
+        ts, env_state, obs, metrics = with_retries(
+            trainer.train_iter, ts, env_state, obs, k,
+            on_retry=lambda a, e: print(f"transient backend error, retry {a}",
+                                        flush=True))
         if epoch == 0:
             jax.block_until_ready(metrics["reward_mean"])
         t_acc += time.time() - t0

@@ -27,18 +27,14 @@ from hhmarl_2d_tpu.models import policy as P
 from hhmarl_2d_tpu.utils import checkpoint as CKPT
 
 
+from hhmarl_2d_tpu.utils.resilience import with_retries
+
+
 def _retry(fn, *a, **kw):
-    """Retry transient remote-compile/tunnel failures."""
-    for attempt in range(4):
-        try:
-            return fn(*a, **kw)
-        except Exception as e:  # jax.errors.JaxRuntimeError on tunnel blips
-            if "remote_compile" not in str(e) and "INTERNAL" not in str(e):
-                raise
-            print(f"[retry] transient backend error (attempt {attempt}): "
-                  f"{str(e)[:120]}", flush=True)
-            time.sleep(20)
-    return fn(*a, **kw)
+    return with_retries(
+        fn, *a, on_retry=lambda att, e: print(
+            f"[retry] transient backend error (attempt {att}): "
+            f"{str(e)[:120]}", flush=True), **kw)
 
 
 def train_low_stage(name, cfg, ppo, team, opp_actor, iters, seed, restore_params=None):
