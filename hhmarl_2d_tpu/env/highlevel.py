@@ -72,7 +72,7 @@ def _greedy_from_models(team, params, obs_rows):
     return out
 
 
-def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca):
+def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca, geom=None):
     """Frozen-policy actions for every slot (env_hier.py:127-130):
     fight obs against the designated opponent with stale distance, escape
     obs over the stored list; fresh closest-friendly block; greedy decode.
@@ -80,6 +80,7 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca):
     n, na = cfg.n_slots, cfg.num_agents
     slots = jnp.arange(n)
     num_valid = jnp.sum(valids, axis=1).astype(jnp.int32)
+    geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
 
     # designated opponent: list[ca-1]; escape (ca==0) indexes [-1], i.e.
     # the last valid entry (env_hier.py:130)
@@ -91,7 +92,6 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca):
     targets = jnp.where(des_valid, des, -1)
 
     # fresh closest friendly per slot (env_hier.py:106-107)
-    geom = G.pairwise(sim, cfg.map_size)
     fri_slot, fri_valid = [], []
     for i in range(n):
         same = ((jnp.arange(n) < na) if i < na else (jnp.arange(n) >= na))
@@ -108,11 +108,11 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca):
     fight_dist = jnp.stack([des_dist, des_dist], axis=1)
     obs_fight, _ = O.build_lowlevel_obs(
         cfg, sim, "fight", slots, fight_list, fight_valid, fight_dist,
-        fri_slot, fri_valid)
+        fri_slot, fri_valid, geom=geom)
     # escape obs: stored list with stale distances (env_hier.py:110-111)
     obs_esc, _ = O.build_lowlevel_obs(
         cfg, sim, "esc", slots, lists[:, :2], valids[:, :2], dists[:, :2],
-        fri_slot, fri_valid)
+        fri_slot, fri_valid, geom=geom)
 
     team_f, team_e = bank["_team_fight"], bank["_team_esc"]
     f1_ag, f2_ag = _greedy_from_models(team_f, bank["fight"], obs_fight[:na])
@@ -179,11 +179,11 @@ def _action_assess(cfg, sim, lists, valids, commander_actions, key):
     return ca, rew0
 
 
-def _surrounding_event(cfg, sim):
+def _surrounding_event(cfg, sim, geom=None):
     """env_hier.py:192-208: any alive agent/opponent pair closer than 0.1
     (raw degrees) with either focus angle under 15 degrees."""
     n, na = cfg.n_slots, cfg.num_agents
-    geom = G.pairwise(sim, cfg.map_size)
+    geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
     ai = jnp.arange(na)[:, None]
     oj = jnp.arange(na, n)[None, :]
     pair = (sim.alive[:na][:, None] & sim.alive[na:][None, :]
@@ -218,8 +218,10 @@ def step(cfg, state: HLState, commander_actions, bank, key):
         t, k = inp
         k_act, k_tick = jax.random.split(k)
 
+        geom = G.pairwise(sim, cfg.map_size)
         acts, targets = _embedded_actions(cfg, bank, sim, state.lists,
-                                          state.valids, state.dists, ca)
+                                          state.valids, state.dists, ca,
+                                          geom)
         acting = sim.alive & (ca >= 0)
         sim2, _ = A.apply_actions(cfg, sim, acts, acting, targets, k_act,
                                   mode="HighLevel")
@@ -236,6 +238,7 @@ def step(cfg, state: HLState, commander_actions, bank, key):
             own = own + jnp.where(gate, cfg.glob_frac * others, 0.0)
         rewards2 = rewards + own
 
+        # geometry for the situation check reflects the post-tick state
         situation = (t > C.HL_MIN_SUB_STEPS) & _surrounding_event(cfg, sim2)
 
         active = ~stop

@@ -10,8 +10,11 @@ Step pipeline (mirroring HHMARLBaseEnv.step + LowLevelEnv._take_action):
      opponents
   3. sim tick
   4. rewards: out-of-bounds, events, escape shaping, glob_frac mixing
-  5. termination + eval info; fresh agent observations
-  6. auto-reset on termination (vectorized episodes never block)
+  5. termination + eval info
+  6. auto-reset on termination, then ONE observation build on the
+     selected (stepped or fresh) state -- pairwise geometry is computed
+     once per phase and shared by every consumer (hot-path optimization;
+     the 4x4 geometry matrices dominate the step cost).
 """
 
 from __future__ import annotations
@@ -42,13 +45,12 @@ class LLState:
     key: jnp.ndarray            # PRNG for auto-reset
 
 
-# Opponent actor: (cfg, sim, opp_level, key) -> (acts [n,4], targets [n])
-# covering the opponent slots (entries for agent slots ignored).
+# Opponent actor: (cfg, sim, opp_level, key, geom) -> (acts [n,4], tgts [n])
 OppActor = Callable
 
 
-def reset(cfg, key):
-    """New episode.  Returns (LLState, obs [num_agents, OBS_PAD])."""
+def _fresh_state(cfg, key):
+    """New-episode state without observations."""
     k_sim, k_lvl, k_carry = jax.random.split(key, 3)
     sim = spawn.reset_scenario(cfg, k_sim, mode="LowLevel")
     if cfg.level == 5 and cfg.agent_mode == "fight":
@@ -59,26 +61,31 @@ def reset(cfg, key):
         opp_level = jnp.asarray(3, dtype=jnp.int32)
     else:
         opp_level = jnp.asarray(cfg.level, dtype=jnp.int32)
-    obs, opp_to_attack, _ = O.lowlevel_side_obs(
-        cfg, sim, _agent_obs_mode(cfg), "agent")
     return LLState(sim=sim, steps=jnp.asarray(0, jnp.int32),
-                   opp_to_attack=opp_to_attack,
+                   opp_to_attack=jnp.full((cfg.num_agents,), -1, jnp.int32),
                    escaping=jnp.asarray(False),
                    esc_time=jnp.asarray(0, jnp.int32),
                    opp_level=opp_level.astype(jnp.int32),
-                   key=k_carry), obs
+                   key=k_carry)
+
+
+def reset(cfg, key):
+    """New episode.  Returns (LLState, obs [num_agents, OBS_PAD])."""
+    state = _fresh_state(cfg, key)
+    obs, opp_to_attack, _ = O.lowlevel_side_obs(
+        cfg, state.sim, _agent_obs_mode(cfg), "agent")
+    return state.replace(opp_to_attack=opp_to_attack), obs
 
 
 def _agent_obs_mode(cfg):
     return "fight" if cfg.agent_mode == "fight" else "esc"
 
 
-def _opp_stats_focus(cfg, sim, opp_to_attack):
+def _opp_stats_focus(cfg, sim, opp_to_attack, geom):
     """focus_angle(designated_opp -> agent, norm), pre-tick
     (env_hetero.py:169-170); 0 where no valid designation."""
     na = cfg.num_agents
     tgt = jnp.clip(opp_to_attack, 0, cfg.n_slots - 1)
-    geom = G.pairwise(sim, cfg.map_size)
     focus_n = jnp.clip(geom["focus"][tgt, jnp.arange(na)] / 180.0, 0.0, 1.0)
     valid = (opp_to_attack >= 0) & sim.alive[tgt] & sim.alive[:na]
     return jnp.where(valid, focus_n, 0.0)
@@ -94,10 +101,11 @@ def step(cfg, state: LLState, agent_actions, key,
     n, na = cfg.n_slots, cfg.num_agents
     sim = state.sim
     steps = state.steps + 1
-    k_act, k_opp, k_tick, k_reset = jax.random.split(key, 4)
+    k_act, k_opp, k_tick, _ = jax.random.split(key, 4)
 
-    # pre-tick stats for cannon-kill reward scaling
-    opp_stats = _opp_stats_focus(cfg, sim, state.opp_to_attack)
+    # one pre-tick geometry shared by stats, scripted logic and opp obs
+    geom_pre = G.pairwise(sim, cfg.map_size)
+    opp_stats = _opp_stats_focus(cfg, sim, state.opp_to_attack, geom_pre)
 
     # assemble the full action/target arrays
     acts = jnp.zeros((n, 4), dtype=jnp.int32)
@@ -109,11 +117,12 @@ def step(cfg, state: LLState, agent_actions, key,
     escaping, esc_time = state.escaping, state.esc_time
     if cfg.level <= 3:
         sim, escaping, esc_time = scripted.run_scripted(
-            cfg, sim, steps, escaping, esc_time, k_opp)
+            cfg, sim, steps, escaping, esc_time, k_opp, geom_pre)
     else:
         if opp_actor is None:
             raise ValueError("levels 4-5 need an opp_actor (frozen policies)")
-        opp_acts, opp_targets = opp_actor(cfg, sim, state.opp_level, k_opp)
+        opp_acts, opp_targets = opp_actor(cfg, sim, state.opp_level, k_opp,
+                                          geom_pre)
         acts = acts.at[na:].set(opp_acts[na:])
         targets = targets.at[na:].set(opp_targets[na:])
         acting = acting.at[na:].set(sim.alive[na:])
@@ -144,19 +153,21 @@ def step(cfg, state: LLState, agent_actions, key,
                  & (alive_opps > 0)).astype(jnp.int32),
     }
 
-    obs, opp_to_attack, _ = O.lowlevel_side_obs(
-        cfg, sim, _agent_obs_mode(cfg), "agent")
-    next_state = LLState(sim=sim, steps=steps, opp_to_attack=opp_to_attack,
+    # auto-reset BEFORE the obs build: select the surviving state once,
+    # then encode observations for whichever state continues.
+    next_state = LLState(sim=sim, steps=steps,
+                         opp_to_attack=state.opp_to_attack,
                          escaping=escaping, esc_time=esc_time,
                          opp_level=state.opp_level, key=state.key)
-
-    # auto-reset: replace terminated episodes with fresh ones
-    reset_state, reset_obs = reset(cfg, state.key)
+    reset_state = _fresh_state(cfg, state.key)
     next_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(
             jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a),
         next_state, reset_state)
-    obs = jnp.where(done, reset_obs, obs)
+
+    obs, opp_to_attack, _ = O.lowlevel_side_obs(
+        cfg, next_state.sim, _agent_obs_mode(cfg), "agent")
+    next_state = next_state.replace(opp_to_attack=opp_to_attack)
     return next_state, obs, rewards, done, info
 
 

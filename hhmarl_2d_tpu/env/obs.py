@@ -62,7 +62,7 @@ def fri_slot_lowlevel(i: int, num_agents: int) -> int:
 
 
 def build_lowlevel_obs(cfg, sim, mode: str, idx, opp_list, opp_list_valid,
-                       opp_list_dist, fri_slot, fri_valid):
+                       opp_list_dist, fri_slot, fri_valid, geom=None):
     """Assemble padded obs rows for the agents in ``idx``.
 
     idx            [k]    agent slots
@@ -73,9 +73,10 @@ def build_lowlevel_obs(cfg, sim, mode: str, idx, opp_list, opp_list_valid,
                           the low-level env; stale macro-start values in the
                           commander env, see env_hier.py:109-111)
     fri_slot       [k]    friendly slot; fri_valid [k] gates the block
+    geom           optional precomputed G.pairwise(sim, map_size)
     Returns (obs [k, OBS_PAD], valid [k]) where invalid rows are zeroed.
     """
-    geom = G.pairwise(sim, cfg.map_size)
+    geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
     focus_n = _norm_focus(geom["focus"])
     hdiff_n = jnp.clip(geom["hdiff"] / 180.0, 0.0, 1.0)
     aspect_n = G.aspect_angle_norm(geom["focus"])
@@ -142,7 +143,7 @@ def build_lowlevel_obs(cfg, sim, mode: str, idx, opp_list, opp_list_valid,
     return jnp.where(valid[:, None], obs, 0.0), valid
 
 
-def lowlevel_side_obs(cfg, sim, mode: str, side: str):
+def lowlevel_side_obs(cfg, sim, mode: str, side: str, geom=None):
     """Fresh low-level observations for one side (env_hetero.py:65-103):
     closest-opponent designation and the fixed-partner friendly rule.
 
@@ -157,7 +158,7 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str):
         enemy = (jnp.arange(n) < na)
     idx = jnp.asarray(slots)
 
-    geom = G.pairwise(sim, cfg.map_size)
+    geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
     m = cfg.num_opps if side == "agent" else cfg.num_agents
 
     orders, valids = [], []
@@ -181,7 +182,7 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str):
         opp_dist = jnp.pad(opp_dist, ((0, 0), (0, pad)))
 
     obs, valid = build_lowlevel_obs(cfg, sim, mode, idx, opp_list, opp_valid,
-                                    opp_dist, fri, fri_valid)
+                                    opp_dist, fri, fri_valid, geom=geom)
     opp_to_attack = jnp.where(opp_valid[:, 0] & sim.alive[idx],
                               opp_list[:, 0], -1)
     return obs, opp_to_attack, valid

@@ -23,21 +23,21 @@ from hhmarl_2d_tpu.env import geometry as G
 from hhmarl_2d_tpu.sim import engine
 
 
-def _closest_agent(cfg, sim, opp_slot):
+def _closest_agent(cfg, sim, opp_slot, geom=None):
     """Closest alive agent to this opponent ([0][0..2] of _nearby_object)."""
-    geom = G.pairwise(sim, cfg.map_size)
+    geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
     agent_alive = (jnp.arange(cfg.n_slots) < cfg.num_agents) & sim.alive
     order, valid = G.sort_enemies(geom["dist_norm"][opp_slot], agent_alive)
     tgt = order[0]
     return tgt, valid[0], geom["dist_norm"][opp_slot, tgt], geom["focus"][opp_slot, tgt]
 
 
-def _missile_attempt(cfg, sim, i, steps, key):
+def _missile_attempt(cfg, sim, i, steps, key, geom=None):
     """Shared missile logic of levels 1 and 2 (env_hetero.py:119-123):
     fire at the closest agent in a 3-tick window every 40 steps, coin-gated;
     sets missile_wait to 5 (never decremented -> one shot per episode)."""
     coin = jax.random.randint(key, (), 0, 2) == 1
-    tgt, tgt_valid, _, _ = _closest_agent(cfg, sim, i)
+    tgt, tgt_valid, _, _ = _closest_agent(cfg, sim, i, geom)
     window = jnp.isin(jnp.mod(steps, 40), jnp.asarray([0, 1, 2]))
     mask = jnp.zeros(cfg.n_slots, dtype=bool).at[i].set(
         sim.alive[i] & ~sim.m_alive[i] & window & coin
@@ -49,15 +49,15 @@ def _missile_attempt(cfg, sim, i, steps, key):
     return sim.replace(missile_wait=wait)
 
 
-def level1(cfg, sim, steps, key):
+def level1(cfg, sim, steps, key, geom=None):
     """Stationary opponents that only fire occasional missiles."""
     for off, k in zip(range(cfg.num_opps),
                       jax.random.split(key, cfg.num_opps)):
-        sim = _missile_attempt(cfg, sim, cfg.num_agents + off, steps, k)
+        sim = _missile_attempt(cfg, sim, cfg.num_agents + off, steps, k, geom)
     return sim
 
 
-def level2(cfg, sim, steps, key):
+def level2(cfg, sim, steps, key, geom=None):
     """Continuous cannon + random maneuvering (env_hetero.py:125-136)."""
     n = cfg.n_slots
     is_opp = jnp.arange(n) >= cfg.num_agents
@@ -76,7 +76,7 @@ def level2(cfg, sim, steps, key):
         mask = jnp.zeros(n, dtype=bool).at[i].set(maneuver)
         sim = engine.set_heading(sim, jnp.full(n, new_h), mask)
         sim = engine.set_speed(sim, jnp.full(n, new_s), mask)
-        sim = _missile_attempt(cfg, sim, i, steps, k4)
+        sim = _missile_attempt(cfg, sim, i, steps, k4, geom)
     return sim
 
 
@@ -95,7 +95,7 @@ def _escaping_heading(lat_rel, lon_rel, key):
     return jnp.floor(lo + u * 30.0)
 
 
-def level3(cfg, sim, steps, escaping, esc_time, key):
+def level3(cfg, sim, steps, escaping, esc_time, key, geom=None):
     """Pursuit automaton with random escape phases (env_hetero.py:138-158).
 
     ``escaping``/``esc_time`` are the shared flags; both are carried
@@ -127,7 +127,7 @@ def level3(cfg, sim, steps, escaping, esc_time, key):
         esc_fire = jax.random.randint(k_esc_f, (), 0, 2) == 1
 
         # pursuit branch (_hardcoded_opp, env_hetero.py:247-271)
-        tgt, tgt_valid, d_norm, focus = _closest_agent(cfg, sim, i)
+        tgt, tgt_valid, d_norm, focus = _closest_agent(cfg, sim, i, geom)
         sign = G.correct_angle_sign(sim.heading[i], sim.lat[i], sim.lon[i],
                                     sim.lat[tgt], sim.lon[tgt])
         r = jax.random.uniform(k_r, (), minval=0.7, maxval=1.3)
@@ -176,12 +176,12 @@ def level3(cfg, sim, steps, escaping, esc_time, key):
     return sim, escaping, esc_time
 
 
-def run_scripted(cfg, sim, steps, escaping, esc_time, key):
+def run_scripted(cfg, sim, steps, escaping, esc_time, key, geom=None):
     """Dispatch by (static) curriculum level."""
     if cfg.level == 1:
-        return level1(cfg, sim, steps, key), escaping, esc_time
+        return level1(cfg, sim, steps, key, geom), escaping, esc_time
     if cfg.level == 2:
-        return level2(cfg, sim, steps, key), escaping, esc_time
+        return level2(cfg, sim, steps, key, geom), escaping, esc_time
     if cfg.level == 3:
-        return level3(cfg, sim, steps, escaping, esc_time, key)
+        return level3(cfg, sim, steps, escaping, esc_time, key, geom)
     raise ValueError(f"no scripted behavior for level {cfg.level}")

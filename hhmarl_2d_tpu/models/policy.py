@@ -124,14 +124,14 @@ def make_frozen_opp_actor(opp_team_fight: LowLevelTeam,
     (env_base.py:373-382).
     """
 
-    def actor(cfg, sim, opp_level, key):
+    def actor(cfg, sim, opp_level, key, geom=None):
         del key  # greedy decode
         n, na = cfg.n_slots, cfg.num_agents
         idx = jnp.clip(opp_level - 3, 0, 2)
         fight_params = jax.tree_util.tree_map(lambda x: x[idx], bank["fight"])
 
-        obs_f, tgt_f, _ = O.lowlevel_side_obs(cfg, sim, "fight", "opp")
-        obs_e, tgt_e, _ = O.lowlevel_side_obs(cfg, sim, "esc", "opp")
+        obs_f, tgt_f, _ = O.lowlevel_side_obs(cfg, sim, "fight", "opp", geom)
+        obs_e, tgt_e, _ = O.lowlevel_side_obs(cfg, sim, "esc", "opp", geom)
 
         def team_actions(team, params, obs_side):
             logits, _ = team.forward(params, obs_side[None, None])
