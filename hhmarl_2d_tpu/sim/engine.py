@@ -93,118 +93,121 @@ def tick(state: SimState, key: jax.Array, num_agents: int,
     ev = blank_events(n)
     alive_start = state.alive          # tick-start snapshot
     m_alive_start = state.m_alive
-    alive = state.alive                # running mask (who can be hit)
 
     k_cannon, k_steer = jax.random.split(key)
     u_cannon = jax.random.uniform(k_cannon, (n, n), dtype=jnp.float32)
     u_steer = jax.random.uniform(k_steer, (n,), dtype=jnp.float32,
-                                minval=0.95, maxval=1.05)
+                                 minval=0.95, maxval=1.05)
 
     team = jnp.arange(n) < num_agents  # True = agent side
+    slot = jnp.arange(n)
 
-    lat, lon = state.lat, state.lon
-    heading, speed = state.heading, state.speed
-    cannon_burst, cannon_remain = state.cannon_burst, state.cannon_remain
-    m_tgt_heading = state.m_tgt_heading
-    destroyed, killer, by_rocket = ev.destroyed, ev.killer, ev.by_rocket
+    # --- aircraft phase, vectorized ---------------------------------------
+    # Although the reference updates units sequentially, the aircraft phase
+    # is order-equivalent to a batch formulation: shooters are unaffected
+    # by their own death within the tick (snapshot iteration), kinematics
+    # are per-slot independent, and the only cross-slot coupling -- the
+    # cannon scan seeing post-move positions of lower slots and pre-move of
+    # higher slots -- is a static triangular mixture.  Kill attribution is
+    # first-shooter-wins (lowest slot index), exactly the sequential result.
+    turn = _type_param(_TURN, state.ac_type)
+    accel = _type_param(_ACCEL, state.ac_type)
+    new_heading = jnp.where(
+        alive_start,
+        _rate_limited_heading(state.heading, state.tgt_heading, turn),
+        state.heading)
+    new_speed = jnp.where(
+        alive_start,
+        _rate_limited_speed(state.speed, state.tgt_speed, accel),
+        state.speed)
 
-    # --- aircraft, in slot (id) order -------------------------------------
-    for i in range(n):
-        act = alive_start[i]
-        t_i = state.ac_type[i]
+    burst_on = alive_start & (state.cannon_burst > 0.0)
+    cannon_burst = jnp.where(burst_on,
+                             jnp.maximum(state.cannon_burst - 1.0, 0.0),
+                             state.cannon_burst)
+    cannon_remain = jnp.where(burst_on,
+                              jnp.maximum(state.cannon_remain - 1.0, 0.0),
+                              state.cannon_remain)
 
-        # heading / speed convergence (ac1.py:82-99)
-        new_h = _rate_limited_heading(heading[i], state.tgt_heading[i],
-                                      _type_param(_TURN, t_i))
-        new_s = _rate_limited_speed(speed[i], state.tgt_speed[i],
-                                    _type_param(_ACCEL, t_i))
-        heading = heading.at[i].set(jnp.where(act, new_h, heading[i]))
-        speed = speed.at[i].set(jnp.where(act, new_s, speed[i]))
+    # position update (last in each unit's update, ac1.py:130-131)
+    lat, lon = _move(state.lat, state.lon, new_heading, new_speed,
+                     alive_start & (new_speed > 0.0))
 
-        # cannon burst (ac1.py:101-115)
-        burst_on = act & (cannon_burst[i] > 0.0)
-        cannon_burst = cannon_burst.at[i].set(
-            jnp.where(burst_on, jnp.maximum(cannon_burst[i] - 1.0, 0.0),
-                      cannon_burst[i]))
-        cannon_remain = cannon_remain.at[i].set(
-            jnp.where(burst_on, jnp.maximum(cannon_remain[i] - 1.0, 0.0),
-                      cannon_remain[i]))
+    # cannon scan: shooter i at its pre-move position with its updated
+    # heading; target j at post-move position iff j < i (already updated)
+    lower = slot[None, :] < slot[:, None]          # [i, j]: j before i
+    lat_seen = jnp.where(lower, lat[None, :], state.lat[None, :])
+    lon_seen = jnp.where(lower, lon[None, :], state.lon[None, :])
+    dist, bearing = _inv(state.lat[:, None], state.lon[:, None],
+                         lat_seen, lon_seen)
+    delta = jnp.abs(geo.signed_heading_diff(new_heading[:, None], bearing))
+    in_range = ((dist < _type_param(_CAN_RANGE, state.ac_type)[:, None])
+                & (delta <= _type_param(_CAN_WIDTH, state.ac_type)[:, None]
+                   / 2.0))
+    gate = friendly_check | (team[None, :] != team[:, None])
+    p_hit = (_type_param(_CAN_PROB, state.ac_type)
+             / _type_param(_CAN_BURST, state.ac_type))[:, None]
+    cand = (burst_on[:, None] & alive_start[None, :] & gate & in_range
+            & (u_cannon < p_hit) & (slot[:, None] != slot[None, :]))
+    first_shooter = jnp.min(jnp.where(cand, slot[:, None], n), axis=0)
+    destroyed = first_shooter < n
+    killer = jnp.where(destroyed, first_shooter, -1)
+    by_rocket = jnp.zeros(n, dtype=bool)
+    alive = alive_start & ~destroyed
+    heading, speed = new_heading, new_speed
 
-        # kill rolls against every other aircraft, using mid-tick positions
-        dist, bearing = _inv(lat[i], lon[i], lat, lon)
-        delta = jnp.abs(geo.signed_heading_diff(heading[i], bearing))
-        in_range = (dist < _type_param(_CAN_RANGE, t_i)) & \
-                   (delta <= _type_param(_CAN_WIDTH, t_i) / 2.0)
-        gate = friendly_check | (team != team[i])
-        p_hit = _type_param(_CAN_PROB, t_i) / _type_param(_CAN_BURST, t_i)
-        hit = (burst_on & alive & gate & in_range & (u_cannon[i] < p_hit))
-        hit = hit.at[i].set(False)
-        alive = alive & ~hit
-        destroyed = destroyed | hit
-        killer = jnp.where(hit, i, killer)
-
-        # steer own in-flight missile: multiplicative heading noise
-        # (ac1.py:118-128); runs even if this unit died mid-tick (snapshot).
-        steer = act & m_alive_start[i]
-        noisy = jnp.clip(state.m_heading[i] * u_steer[i], 0.0, 359.0)
-        m_tgt_heading = m_tgt_heading.at[i].set(
-            jnp.where(steer, noisy, m_tgt_heading[i]))
-
-        # position update last (ac1.py:130-131)
-        nlat, nlon = _move(lat[i], lon[i], heading[i], speed[i],
-                           act & (speed[i] > 0.0))
-        lat = lat.at[i].set(nlat)
-        lon = lon.at[i].set(nlon)
+    # missile steering by the (snapshot-alive) shooter (ac1.py:118-128)
+    steer = alive_start & m_alive_start
+    m_tgt_heading = jnp.where(
+        steer, jnp.clip(state.m_heading * u_steer, 0.0, 359.0),
+        state.m_tgt_heading)
 
     # --- missiles, after all aircraft (rocket_unit.py:37-73) ---------------
+    # Geometry/kinematics vectorize (aircraft no longer move this tick);
+    # only the hit resolution stays a tiny unrolled loop to preserve the
+    # reference's per-missile [target check, friendly check] interleaving.
+    tgt = state.m_target
+    d_t, _ = _inv(state.m_lat, state.m_lon, lat[tgt], lon[tgt])
+    fr_idx = jnp.where(slot == 1, 0, 1)
+    d_f, _ = _inv(state.m_lat, state.m_lon, lat[fr_idx], lon[fr_idx])
+    life = state.time - state.m_fire_time
+    near_t = d_t < C.ROCKET_PROXIMITY_KM
+    near_f = d_f < C.ROCKET_PROXIMITY_KM
+    past_eol = life > C.ROCKET_EOL_SECS
+
     m_alive = state.m_alive
-    m_lat, m_lon, m_heading = state.m_lat, state.m_lon, state.m_heading
+    hit_t_v = jnp.zeros(n, dtype=bool)
+    hit_f_v = jnp.zeros(n, dtype=bool)
     for i in range(n):
         act = m_alive_start[i] & m_alive[i]
-        tgt = state.m_target[i]
-
-        # proximity kill on target (<1 km, rocket_unit.py:39-42)
-        d_t, _ = _inv(m_lat[i], m_lon[i], lat[tgt], lon[tgt])
-        hit_t = act & alive[tgt] & (d_t < C.ROCKET_PROXIMITY_KM)
-
-        # the reference's hardcoded "friendly" proximity check
-        # (rocket_unit.py:44-52): checks slot 0 if the source is slot 1,
-        # else slot 1 -- even for opponent-fired missiles.
+        hit_t = act & alive[tgt[i]] & near_t[i]
         fr = 0 if i == 1 else 1
-        d_f, _ = _inv(m_lat[i], m_lon[i], lat[fr], lon[fr])
-        hit_f = (act & ~hit_t & friendly_check & alive[fr]
-                 & (d_f < C.ROCKET_PROXIMITY_KM))
-
-        # end of life (rocket_unit.py:54-58)
-        life = state.time - state.m_fire_time[i]
-        eol = act & ~hit_t & ~hit_f & (life > C.ROCKET_EOL_SECS)
-
-        gone = hit_t | hit_f | eol
-        flying = act & ~gone
-
-        alive = alive.at[tgt].set(alive[tgt] & ~hit_t)
+        hit_f = act & ~hit_t & friendly_check & alive[fr] & near_f[i]
+        gone = hit_t | hit_f | (act & ~hit_t & ~hit_f & past_eol[i])
+        alive = alive.at[tgt[i]].set(alive[tgt[i]] & ~hit_t)
         alive = alive.at[fr].set(alive[fr] & ~hit_f)
-        destroyed = destroyed.at[tgt].set(destroyed[tgt] | hit_t)
+        destroyed = destroyed.at[tgt[i]].set(destroyed[tgt[i]] | hit_t)
         destroyed = destroyed.at[fr].set(destroyed[fr] | hit_f)
-        killer = killer.at[tgt].set(jnp.where(hit_t, i, killer[tgt]))
+        killer = killer.at[tgt[i]].set(jnp.where(hit_t, i, killer[tgt[i]]))
         killer = killer.at[fr].set(jnp.where(hit_f, i, killer[fr]))
-        by_rocket = by_rocket.at[tgt].set(by_rocket[tgt] | hit_t)
+        by_rocket = by_rocket.at[tgt[i]].set(by_rocket[tgt[i]] | hit_t)
         by_rocket = by_rocket.at[fr].set(by_rocket[fr] | hit_f)
         m_alive = m_alive.at[i].set(m_alive[i] & ~gone)
+        hit_t_v = hit_t_v.at[i].set(hit_t)
+        hit_f_v = hit_f_v.at[i].set(hit_f)
 
-        # heading convergence at 10 deg/s (rocket_unit.py:60-67; no wrap in
-        # the reference, but headings stay within one turn of [0,360) so a
-        # wrap is value-equivalent for all downstream trig)
-        new_mh = _rate_limited_heading(m_heading[i], m_tgt_heading[i],
-                                       C.ROCKET_TURN_RATE_DEG_S)
-        m_heading = m_heading.at[i].set(jnp.where(flying, new_mh, m_heading[i]))
-
-        # speed profile at integer life time (rocket_unit.py:70)
-        m_speed = jnp.take(_ROCKET_SPEED,
-                           jnp.clip(life, 0, C.ROCKET_EOL_SECS))
-        nmlat, nmlon = _move(m_lat[i], m_lon[i], m_heading[i], m_speed, flying)
-        m_lat = m_lat.at[i].set(nmlat)
-        m_lon = m_lon.at[i].set(nmlon)
+    flying = m_alive_start & m_alive
+    # heading convergence at 10 deg/s (rocket_unit.py:60-67; no wrap in the
+    # reference, but headings stay within one turn of [0,360) so a wrap is
+    # value-equivalent for all downstream trig)
+    m_heading = jnp.where(
+        flying,
+        _rate_limited_heading(state.m_heading, m_tgt_heading,
+                              C.ROCKET_TURN_RATE_DEG_S),
+        state.m_heading)
+    # speed profile at integer life time (rocket_unit.py:70)
+    m_speed = jnp.take(_ROCKET_SPEED, jnp.clip(life, 0, C.ROCKET_EOL_SECS))
+    m_lat, m_lon = _move(state.m_lat, state.m_lon, m_heading, m_speed, flying)
 
     new_state = state.replace(
         lat=lat, lon=lon, heading=heading, speed=speed,
