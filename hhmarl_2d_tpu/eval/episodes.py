@@ -19,7 +19,8 @@ from hhmarl_2d_tpu.render.plotter import EpisodeTrace
 def _record(sim):
     return dict(lat=sim.lat, lon=sim.lon, heading=sim.heading,
                 alive=sim.alive, m_lat=sim.m_lat, m_lon=sim.m_lon,
-                m_alive=sim.m_alive, cannon_burst=sim.cannon_burst)
+                m_alive=sim.m_alive, m_heading=sim.m_heading,
+                cannon_burst=sim.cannon_burst, ac_type=sim.ac_type)
 
 
 def _to_trace(cfg, rec, done_t):
@@ -32,7 +33,9 @@ def _to_trace(cfg, rec, done_t):
         m_lat=np.asarray(rec["m_lat"])[:T], m_lon=np.asarray(rec["m_lon"])[:T],
         m_alive=np.asarray(rec["m_alive"])[:T],
         cannon_burst=np.asarray(rec["cannon_burst"])[:T],
-        num_agents=cfg.num_agents, map_size=cfg.map_size)
+        num_agents=cfg.num_agents, map_size=cfg.map_size,
+        ac_type=np.asarray(rec["ac_type"])[0],
+        m_heading=np.asarray(rec["m_heading"])[:T])
 
 
 def run_episode_lowlevel(cfg, team, params, key, opp_actor=None,

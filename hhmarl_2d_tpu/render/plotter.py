@@ -38,6 +38,8 @@ class EpisodeTrace:
     cannon_burst: np.ndarray
     num_agents: int
     map_size: float
+    ac_type: Optional[np.ndarray] = None    # [n_slots] 1|2, for cannon cones
+    m_heading: Optional[np.ndarray] = None  # [T, n_slots] missile headings
 
 
 def _airplane_glyph(ax, x, y, heading_deg, color, size):
