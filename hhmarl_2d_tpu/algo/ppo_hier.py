@@ -205,7 +205,10 @@ class CommanderPPO:
             ts, env_state, obs, h, k_roll)
         batch = self._make_batch(ts, traj, obs_last, h_last)
         n_seqs = batch["obs"].shape[0]
-        mb = n_seqs // self.ppo.num_minibatches
+        # clamp so tiny smoke configs never produce empty minibatches
+        # (mb = 0 would make every metric a mean over an empty slice = NaN)
+        n_mb = min(self.ppo.num_minibatches, n_seqs)
+        mb = n_seqs // n_mb
 
         def sgd_pass(carry, k):
             perm = jax.random.permutation(k, n_seqs)
@@ -219,8 +222,7 @@ class CommanderPPO:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state, metrics), None
 
-            idxs = perm[:mb * self.ppo.num_minibatches].reshape(
-                self.ppo.num_minibatches, mb)
+            idxs = perm[:mb * n_mb].reshape(n_mb, mb)
             carry, _ = jax.lax.scan(mb_step, carry, idxs)
             return carry, None
 

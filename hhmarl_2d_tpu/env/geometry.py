@@ -98,14 +98,84 @@ def pairwise(sim, map_size):
     }
 
 
+# Optimal comparator networks (Knuth TAOCP vol. 3 / Bose-Nelson) for the
+# tiny slot counts we sort.  A static network of where-selects fuses into
+# the surrounding elementwise code; XLA's variadic sort for the same shapes
+# lowers to a comparator loop that dominated the whole env step (~50% of
+# step time at 4096 vmapped envs before this change).
+_SORT_NETWORKS = {
+    1: (),
+    2: ((0, 1),),
+    3: ((0, 1), (1, 2), (0, 1)),
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    5: ((0, 1), (3, 4), (2, 4), (2, 3), (1, 4), (0, 3), (0, 2), (1, 3),
+        (1, 2)),
+    6: ((1, 2), (4, 5), (0, 2), (3, 5), (0, 1), (3, 4), (2, 5), (0, 3),
+        (1, 4), (2, 4), (1, 3), (2, 3)),
+    7: ((1, 2), (3, 4), (5, 6), (0, 2), (3, 5), (4, 6), (0, 1), (4, 5),
+        (2, 6), (0, 4), (1, 5), (0, 3), (2, 5), (1, 3), (2, 4), (2, 3)),
+    8: ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+        (2, 4), (3, 5), (3, 4)),
+}
+
+
 def sort_enemies(dist_norm_row, enemy_mask):
     """Alive enemies of one slot ordered by distance (_nearby_object,
     env_base.py:400-422).
 
     Returns (order, valid): ``order[k]`` is the slot index of the k-th
-    closest alive enemy; ``valid[k]`` False past the last one.
+    closest alive enemy; ``valid[k]`` False past the last one.  Entries past
+    the last valid one carry arbitrary slot ids -- every consumer gates on
+    ``valid`` (matching the reference, which simply returns a shorter list).
+
+    Inputs may carry trailing batch dims ([n, ...]); outputs match.
     """
-    masked = jnp.where(enemy_mask, dist_norm_row, jnp.inf)
-    order = jnp.argsort(masked).astype(jnp.int32)
-    valid = jnp.take(enemy_mask, order)
+    order, valid, _ = sort_enemies_vals(dist_norm_row, enemy_mask)
     return order, valid
+
+
+def sort_enemies_vals(dist_norm_row, enemy_mask):
+    """sort_enemies, also returning the sorted masked distances [n, ...]
+    (inf past the last valid entry) so callers don't re-gather them."""
+    n = dist_norm_row.shape[0]
+    net = _SORT_NETWORKS[n]
+    v = [jnp.where(enemy_mask[i], dist_norm_row[i], jnp.inf) for i in range(n)]
+    o = [jnp.full(dist_norm_row.shape[1:], i, jnp.int32) for i in range(n)]
+    m = [enemy_mask[i] for i in range(n)]
+    for i, j in net:
+        swap = v[i] > v[j]
+        v[i], v[j] = (jnp.where(swap, v[j], v[i]),
+                      jnp.where(swap, v[i], v[j]))
+        o[i], o[j] = (jnp.where(swap, o[j], o[i]),
+                      jnp.where(swap, o[i], o[j]))
+        m[i], m[j] = (jnp.where(swap, m[j], m[i]),
+                      jnp.where(swap, m[i], m[j]))
+    return jnp.stack(o), jnp.stack(m), jnp.stack(v)
+
+
+# --- gather-free slot selection ----------------------------------------------
+# On TPU, gathers/scatters over the tiny slot axis (n <= 8) lower to
+# unfusible gather kernels whose launch cost dominates at thousands of
+# vmapped envs.  One-hot selects compile to pure elementwise select+reduce
+# and fuse into the surrounding code.
+
+def onehot_slot(idx, n):
+    """bool [..., n] mask for integer slot ids [...] (out-of-range -> all
+    False)."""
+    return idx[..., None] == jnp.arange(n, dtype=jnp.int32)
+
+
+def sel(vec, w):
+    """vec [n] numeric, w bool [..., n] -> [...]: vec[idx] as a select."""
+    return jnp.sum(jnp.where(w, vec, 0), axis=-1)
+
+
+def selb(vec, w):
+    """vec [n] bool, w bool [..., n] -> [...] bool."""
+    return jnp.any(w & vec, axis=-1)
+
+
+def sel_rows(rows, w):
+    """rows [k, n], w bool [k, n] -> [k]: rows[j, idx[j]] per row j."""
+    return jnp.sum(jnp.where(w, rows, 0), axis=-1)

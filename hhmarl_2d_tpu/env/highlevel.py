@@ -107,12 +107,12 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca, geom=None):
     fight_valid = jnp.stack([des_valid, des_valid], axis=1)
     fight_dist = jnp.stack([des_dist, des_dist], axis=1)
     obs_fight, _ = O.build_lowlevel_obs(
-        cfg, sim, "fight", slots, fight_list, fight_valid, fight_dist,
-        fri_slot, fri_valid, geom=geom)
+        cfg, sim, "fight", list(range(n)), fight_list, fight_valid,
+        fight_dist, fri_slot, fri_valid, geom=geom)
     # escape obs: stored list with stale distances (env_hier.py:110-111)
     obs_esc, _ = O.build_lowlevel_obs(
-        cfg, sim, "esc", slots, lists[:, :2], valids[:, :2], dists[:, :2],
-        fri_slot, fri_valid, geom=geom)
+        cfg, sim, "esc", list(range(n)), lists[:, :2], valids[:, :2],
+        dists[:, :2], fri_slot, fri_valid, geom=geom)
 
     team_f, team_e = bank["_team_fight"], bank["_team_esc"]
     f1_ag, f2_ag = _greedy_from_models(team_f, bank["fight"], obs_fight[:na])

@@ -12,6 +12,11 @@ Also returns the per-slot designation lists the macro-action loop consumes
   * opponent slots store their FULL sorted enemy list (env_hier.py:94-97)
 with the *stale* normalized distances that the embedded low-level
 observations keep using for the whole macro action (env_hier.py:109-111).
+Distance entries at invalid designations are inf (every consumer gates on
+the valid flags, as the reference does by truncating its lists).
+
+Like obs.py, every slot lookup is a one-hot select / static slice --
+no gathers on the hot path.
 """
 
 from __future__ import annotations
@@ -21,6 +26,21 @@ import jax.numpy as jnp
 from hhmarl_2d_tpu import constants as C
 from hhmarl_2d_tpu.env import geometry as G
 from hhmarl_2d_tpu.env import obs as O
+
+
+def _side_sorted(cfg, sim, geom, side: str, m: int):
+    """Sorted enemy designations for one side's slots.
+
+    Returns (order [k, m], valid [k, m], vals [k, m]) with k slots of the
+    side in slot order; vals are sorted normalized distances (inf invalid).
+    """
+    n, na = cfg.n_slots, cfg.num_agents
+    slots = list(range(0, na)) if side == "agent" else list(range(na, n))
+    enemy = (jnp.arange(n) >= na) if side == "agent" else (jnp.arange(n) < na)
+    dist_rows = O._static_take(geom["dist_norm"], slots)        # [k, n]
+    mask = jnp.broadcast_to((enemy & sim.alive)[:, None], (n, len(slots)))
+    order, valid, vals = G.sort_enemies_vals(dist_rows.T, mask)
+    return order.T[:, :m], valid.T[:, :m], vals.T[:, :m]
 
 
 def commander_obs(cfg, sim):
@@ -37,58 +57,53 @@ def commander_obs(cfg, sim):
     focus_n = jnp.clip(geom["focus"] / 180.0, 0.0, 1.0)
     aspect_n = G.aspect_angle_norm(geom["focus"])
     hdiff_n = jnp.clip(geom["hdiff"] / 180.0, 0.0, 1.0)
+    f = O.slot_features(cfg, sim)
 
-    lists, valids, dists = [], [], []
-    obs_rows = []
-    for i in range(n):
-        is_agent = i < na
-        enemy = ((jnp.arange(n) >= na) if is_agent else (jnp.arange(n) < na))
-        order, valid = G.sort_enemies(geom["dist_norm"][i], enemy & sim.alive)
-        order, valid = order[:m], valid[:m]
-        if is_agent:
-            # cap the stored list at N_OPP_HL (env_hier.py:70-74)
-            valid = valid & (jnp.arange(m) < C.N_OPP_HL)
-        lists.append(order)
-        valids.append(valid)
-        dists.append(geom["dist_norm"][i, order])
+    a_order, a_valid, a_vals = _side_sorted(cfg, sim, geom, "agent", m)
+    o_order, o_valid, o_vals = _side_sorted(cfg, sim, geom, "opp", m)
+    # cap the stored agent lists at N_OPP_HL (env_hier.py:70-74)
+    a_valid = a_valid & (jnp.arange(m) < C.N_OPP_HL)
+    lists = jnp.concatenate([a_order, o_order])
+    valids = jnp.concatenate([a_valid, o_valid])
+    dists = jnp.concatenate([a_vals, o_vals])
 
-        if not is_agent:
-            continue
+    # --- agent obs rows, vectorized over the na agent slots ----------------
+    agents = list(range(na))
+    focus_to = O._static_take(focus_n, agents)          # focus_n[i, :]
+    focus_from = O._static_take(focus_n, agents, 1).T   # focus_n[:, i]
+    aspect_to = O._static_take(aspect_n, agents)
+    aspect_from = O._static_take(aspect_n, agents, 1).T
+    hdiff_rows = O._static_take(hdiff_n, agents)
+    dist_rows = O._static_take(geom["dist_norm"], agents)
 
-        x_a, y_a = O._xy(cfg, sim, jnp.asarray([i]))
-        v_a, h_a = O._vh(sim, jnp.asarray([i]))
-        own = jnp.stack([x_a[0], y_a[0], v_a[0], h_a[0]])
+    own = jnp.stack([O._static_take(f[k], agents) for k in "xyvh"], axis=-1)
 
-        opp_blocks = []
-        for col in range(C.N_OPP_HL):
-            o = order[col]
-            x_o, y_o = O._xy(cfg, sim, jnp.asarray([o]))
-            v_o, h_o = O._vh(sim, jnp.asarray([o]))
-            block = jnp.stack([
-                x_o[0], y_o[0], v_o[0], h_o[0], hdiff_n[o, i],
-                focus_n[i, o], focus_n[o, i],
-                aspect_n[i, o], aspect_n[o, i],
-                geom["dist_norm"][i, o]])
-            opp_blocks.append(jnp.where(valid[col], block, 0.0))
-        opps = jnp.concatenate(opp_blocks)
+    blocks = [own]
+    for col in range(C.N_OPP_HL):
+        w = G.onehot_slot(a_order[:, col], n)           # [na, n]
+        block = jnp.stack([
+            G.sel(f["x"], w), G.sel(f["y"], w),
+            G.sel(f["v"], w), G.sel(f["h"], w),
+            G.sel_rows(hdiff_rows, w),
+            G.sel_rows(focus_to, w), G.sel_rows(focus_from, w),
+            G.sel_rows(aspect_to, w), G.sel_rows(aspect_from, w),
+            G.sel_rows(dist_rows, w)], axis=-1)
+        blocks.append(jnp.where(a_valid[:, col][:, None], block, 0.0))
 
-        # two closest-friendly 5-blocks (env_hier.py:77-84)
-        friendly = ((jnp.arange(n) < na) if is_agent else (jnp.arange(n) >= na))
-        friendly = friendly & sim.alive & (jnp.arange(n) != i)
-        forder, fvalid = G.sort_enemies(geom["dist_norm"][i], friendly)
-        fri_blocks = []
-        for col in range(2):
-            f = forder[col]
-            x_f, y_f = O._xy(cfg, sim, jnp.asarray([f]))
-            block = jnp.stack([x_f[0], y_f[0], focus_n[i, f], focus_n[f, i],
-                               geom["dist_norm"][i, f]])
-            fri_blocks.append(jnp.where(fvalid[col], block, 0.0))
-        fris = jnp.concatenate(fri_blocks)
+    # two closest-friendly 5-blocks (env_hier.py:77-84)
+    e = jnp.arange(n)
+    fr_mask = ((e < na)[:, None] & sim.alive[:, None]
+               & (e[:, None] != jnp.asarray(agents)[None, :]))   # [n, na]
+    forder, fvalid, _ = G.sort_enemies_vals(dist_rows.T, fr_mask)
+    for col in range(2):
+        w = G.onehot_slot(forder[col], n)               # [na, n]
+        block = jnp.stack([
+            G.sel(f["x"], w), G.sel(f["y"], w),
+            G.sel_rows(focus_to, w), G.sel_rows(focus_from, w),
+            G.sel_rows(dist_rows, w)], axis=-1)
+        blocks.append(jnp.where(fvalid[col][:, None], block, 0.0))
 
-        row = jnp.concatenate([own, opps, fris])
-        # zero row when dead or no opponents left (env_hier.py:88-91)
-        row_valid = sim.alive[i] & valid[0]
-        obs_rows.append(jnp.where(row_valid, row, 0.0))
-
-    return (jnp.stack(obs_rows), jnp.stack(lists), jnp.stack(valids),
-            jnp.stack(dists))
+    rows = jnp.concatenate(blocks, axis=-1)
+    # zero row when dead or no opponents left (env_hier.py:88-91)
+    row_valid = sim.alive[:na] & a_valid[:, 0]
+    return (jnp.where(row_valid[:, None], rows, 0.0), lists, valids, dists)

@@ -85,9 +85,10 @@ def _opp_stats_focus(cfg, sim, opp_to_attack, geom):
     """focus_angle(designated_opp -> agent, norm), pre-tick
     (env_hetero.py:169-170); 0 where no valid designation."""
     na = cfg.num_agents
-    tgt = jnp.clip(opp_to_attack, 0, cfg.n_slots - 1)
-    focus_n = jnp.clip(geom["focus"][tgt, jnp.arange(na)] / 180.0, 0.0, 1.0)
-    valid = (opp_to_attack >= 0) & sim.alive[tgt] & sim.alive[:na]
+    w = G.onehot_slot(opp_to_attack, cfg.n_slots)         # [na, n]; -1 -> 0s
+    focus_from = geom["focus"][:, :na].T                  # [na, n]
+    focus_n = jnp.clip(G.sel_rows(focus_from, w) / 180.0, 0.0, 1.0)
+    valid = (opp_to_attack >= 0) & G.selb(sim.alive, w) & sim.alive[:na]
     return jnp.where(valid, focus_n, 0.0)
 
 

@@ -14,9 +14,15 @@ commander env, per-episode random) aircraft types stay branch-free.
 
 Dead agents and agents with no remaining opponents produce all-zero rows
 (env_hetero.py:97-100), which the centralized-critic pipeline relies on.
+
+Hot-path note: all slot lookups are one-hot selects (G.sel/G.sel_rows) over
+the tiny static slot axis, never jnp gathers -- gathers don't fuse on TPU
+and their launch cost dominated the vmapped env step.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax.numpy as jnp
 
@@ -25,7 +31,6 @@ from hhmarl_2d_tpu import geo
 from hhmarl_2d_tpu.env import geometry as G
 
 OBS_PAD = 30
-_MAXSPD = jnp.asarray(C.MAX_SPEED_KNOTS)
 
 
 def _norm_focus(focus_deg):
@@ -33,25 +38,33 @@ def _norm_focus(focus_deg):
     return jnp.clip(focus_deg / 180.0, 0.0, 1.0)
 
 
-def _xy(cfg, sim, slots):
-    """(lat_rel, lon_rel) = map_limits.relative_position (env_base.py:117)."""
+def _static_take(a, idx, axis=0):
+    """Static-index row/col selection; contiguous ranges become slices."""
+    idx = [int(i) for i in idx]
+    if idx == list(range(idx[0], idx[0] + len(idx))):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(idx[0], idx[0] + len(idx))
+        return a[tuple(sl)]
+    return jnp.take(a, np.asarray(idx), axis=axis)
+
+
+def slot_features(cfg, sim):
+    """Per-slot normalized features, each [n] (env_base.py:117-132)."""
     ml = geo.make_map_limits(cfg.map_size)
-    return ml.relative_position(sim.lat[slots], sim.lon[slots])
-
-
-def _vh(sim, slots):
-    """Normalized speed and heading (env_base.py:120-121)."""
-    v = jnp.clip(sim.speed[slots] / _MAXSPD[sim.ac_type[slots] - 1], 0.0, 1.0)
-    h = jnp.clip(jnp.mod(sim.heading[slots], 359.0) / 359.0, 0.0, 1.0)
-    return v, h
-
-
-def _shot(sim, slots):
-    """"is shooting": cannon burst active, or (AC1) missile in flight
-    (env_base.py:130-132,151-154)."""
-    burst = sim.cannon_burst[slots] > 0.0
-    missile = sim.m_alive[slots] & (sim.ac_type[slots] == 1)
-    return (burst | missile).astype(jnp.float32)
+    x, y = ml.relative_position(sim.lat, sim.lon)
+    maxspd = jnp.where(sim.ac_type == 1, C.MAX_SPEED_KNOTS[0],
+                       C.MAX_SPEED_KNOTS[1])
+    v = jnp.clip(sim.speed / maxspd, 0.0, 1.0)
+    h = jnp.clip(jnp.mod(sim.heading, 359.0) / 359.0, 0.0, 1.0)
+    shot = ((sim.cannon_burst > 0.0)
+            | (sim.m_alive & (sim.ac_type == 1))).astype(jnp.float32)
+    cannon = jnp.clip(sim.cannon_remain / sim.cannon_max, 0.0, 1.0)
+    missile = jnp.clip(
+        sim.missile_remain
+        / jnp.maximum(sim.rocket_max, 1).astype(jnp.float32), 0.0, 1.0)
+    wait0 = (sim.missile_wait == 0).astype(jnp.float32)
+    return dict(x=x, y=y, v=v, h=h, shot=shot, cannon=cannon,
+                missile=missile, wait0=wait0)
 
 
 def fri_slot_lowlevel(i: int, num_agents: int) -> int:
@@ -62,61 +75,80 @@ def fri_slot_lowlevel(i: int, num_agents: int) -> int:
 
 
 def build_lowlevel_obs(cfg, sim, mode: str, idx, opp_list, opp_list_valid,
-                       opp_list_dist, fri_slot, fri_valid, geom=None):
+                       opp_list_dist, fri_slot, fri_valid, geom=None,
+                       feats=None):
     """Assemble padded obs rows for the agents in ``idx``.
 
-    idx            [k]    agent slots
+    idx            [k]    agent slots -- STATIC (python ints / constant array)
     opp_list       [k,m]  opponent slots in designation order (fight reads
                           column 0; escape reads up to 2 columns)
     opp_list_valid [k,m]  False for exhausted/dead designations
     opp_list_dist  [k,m]  normalized distances to embed in the obs (fresh in
                           the low-level env; stale macro-start values in the
-                          commander env, see env_hier.py:109-111)
-    fri_slot       [k]    friendly slot; fri_valid [k] gates the block
+                          commander env, see env_hier.py:109-111); entries at
+                          invalid designations may be inf (always gated)
+    fri_slot       [k]    friendly slot (may be traced); fri_valid [k] gates
     geom           optional precomputed G.pairwise(sim, map_size)
+    feats          optional precomputed slot_features(cfg, sim)
     Returns (obs [k, OBS_PAD], valid [k]) where invalid rows are zeroed.
     """
+    n = cfg.n_slots
+    idx = [int(i) for i in np.asarray(idx)]
     geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
-    focus_n = _norm_focus(geom["focus"])
-    hdiff_n = jnp.clip(geom["hdiff"] / 180.0, 0.0, 1.0)
-    aspect_n = G.aspect_angle_norm(geom["focus"])
+    f = feats if feats is not None else slot_features(cfg, sim)
 
-    o0 = opp_list[:, 0]
-    x_a, y_a = _xy(cfg, sim, idx)
-    v_a, h_a = _vh(sim, idx)
-    cannon_a = jnp.clip(sim.cannon_remain[idx] / sim.cannon_max[idx], 0.0, 1.0)
-    missile_a = jnp.clip(
-        sim.missile_remain[idx]
-        / jnp.maximum(sim.rocket_max[idx], 1).astype(jnp.float32), 0.0, 1.0)
-    wait0_a = (sim.missile_wait[idx] == 0).astype(jnp.float32)
-    shot_a = _shot(sim, idx)
+    focus_n = _norm_focus(geom["focus"])
+    aspect_n = G.aspect_angle_norm(geom["focus"])
+    hdiff_n = jnp.clip(geom["hdiff"] / 180.0, 0.0, 1.0)  # symmetric
+
+    # per-agent-row static slices of the pairwise mats: [k, n]
+    focus_to = _static_take(focus_n, idx)            # focus_n[idx, :]
+    focus_from = _static_take(focus_n, idx, 1).T     # focus_n[:, idx] -> [k,n]
+    aspect_to = _static_take(aspect_n, idx)          # aspect_n[idx, :]
+    aspect_from = _static_take(aspect_n, idx, 1).T   # aspect_n[:, idx]
+    hdiff_rows = _static_take(hdiff_n, idx)
+    dist_rows = _static_take(geom["dist_norm"], idx)
+
+    w_opp = G.onehot_slot(opp_list, n)               # [k, m, n]
+    w0 = w_opp[:, 0]
+
+    x_a = _static_take(f["x"], idx)
+    y_a = _static_take(f["y"], idx)
+    v_a = _static_take(f["v"], idx)
+    h_a = _static_take(f["h"], idx)
+    cannon_a = _static_take(f["cannon"], idx)
+    missile_a = _static_take(f["missile"], idx)
+    wait0_a = _static_take(f["wait0"], idx)
+    shot_a = _static_take(f["shot"], idx)
 
     def opp_block(col, mode):
         """opp_ac_values (env_base.py:185-212) for designation column col."""
-        o = opp_list[:, col]
-        x_o, y_o = _xy(cfg, sim, o)
-        v_o, h_o = _vh(sim, o)
+        w = w_opp[:, col]
+        x_o, y_o = G.sel(f["x"], w), G.sel(f["y"], w)
+        v_o, h_o = G.sel(f["v"], w), G.sel(f["h"], w)
+        shot_o = G.sel(f["shot"], w)
         d = opp_list_dist[:, col]
-        shot_o = _shot(sim, o)
         if mode == "fight":
-            mid = [focus_n[o, idx], aspect_n[idx, o]]
+            mid = [G.sel_rows(focus_from, w), G.sel_rows(aspect_to, w)]
         else:
-            mid = [focus_n[idx, o], focus_n[o, idx]]
+            mid = [G.sel_rows(focus_to, w), G.sel_rows(focus_from, w)]
         block = jnp.stack(
-            [x_o, y_o, v_o, h_o, hdiff_n[o, idx]] + mid + [d, shot_o], axis=-1)
+            [x_o, y_o, v_o, h_o, G.sel_rows(hdiff_rows, w)] + mid
+            + [d, shot_o], axis=-1)
         valid = opp_list_valid[:, col]
         return jnp.where(valid[:, None], block, 0.0)
 
     # friendly block (env_base.py:166-183)
-    f = fri_slot
-    x_f, y_f = _xy(cfg, sim, f)
-    fri = jnp.stack([x_f, y_f, focus_n[idx, f], focus_n[f, idx],
-                     geom["dist_norm"][idx, f]], axis=-1)
-    fri = jnp.where((fri_valid & sim.alive[f])[:, None], fri, 0.0)
+    w_f = G.onehot_slot(fri_slot.astype(jnp.int32), n)
+    fri = jnp.stack([G.sel(f["x"], w_f), G.sel(f["y"], w_f),
+                     G.sel_rows(focus_to, w_f), G.sel_rows(focus_from, w_f),
+                     G.sel_rows(dist_rows, w_f)], axis=-1)
+    fri_alive = G.selb(sim.alive, w_f)
+    fri = jnp.where((fri_valid & fri_alive)[:, None], fri, 0.0)
 
     if mode == "fight":
-        own_shared = [x_a, y_a, v_a, h_a, focus_n[idx, o0],
-                      aspect_n[o0, idx], hdiff_n[idx, o0],
+        own_shared = [x_a, y_a, v_a, h_a, G.sel_rows(focus_to, w0),
+                      G.sel_rows(aspect_from, w0), G.sel_rows(hdiff_rows, w0),
                       opp_list_dist[:, 0], cannon_a]
         own1 = jnp.stack(own_shared + [missile_a, wait0_a, shot_a], axis=-1)
         own2 = jnp.stack(own_shared + [shot_a], axis=-1)
@@ -132,14 +164,16 @@ def build_lowlevel_obs(cfg, sim, mode: str, idx, opp_list, opp_list_valid,
         row1 = jnp.concatenate([own1, opps, fri], axis=-1)         # 30
         row2 = jnp.concatenate([own2, opps, fri], axis=-1)         # 29
 
-    k = idx.shape[0]
+    k = len(idx)
     pad1 = jnp.zeros((k, OBS_PAD - row1.shape[-1]), row1.dtype)
     pad2 = jnp.zeros((k, OBS_PAD - row2.shape[-1]), row2.dtype)
-    obs = jnp.where((sim.ac_type[idx] == 1)[:, None],
+    ac1 = _static_take(sim.ac_type, idx) == 1
+    obs = jnp.where(ac1[:, None],
                     jnp.concatenate([row1, pad1], axis=-1),
                     jnp.concatenate([row2, pad2], axis=-1))
 
-    valid = sim.alive[idx] & opp_list_valid[:, 0]
+    alive_a = _static_take(sim.alive, idx)
+    valid = alive_a & opp_list_valid[:, 0]
     return jnp.where(valid[:, None], obs, 0.0), valid
 
 
@@ -156,20 +190,17 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str, geom=None):
     else:
         slots = list(range(na, n))
         enemy = (jnp.arange(n) < na)
-    idx = jnp.asarray(slots)
 
     geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
     m = cfg.num_opps if side == "agent" else cfg.num_agents
 
-    orders, valids = [], []
-    for i in slots:
-        order, valid = G.sort_enemies(geom["dist_norm"][i],
-                                      enemy & sim.alive)
-        orders.append(order[:m])
-        valids.append(valid[:m])
-    opp_list = jnp.stack(orders)
-    opp_valid = jnp.stack(valids)
-    opp_dist = geom["dist_norm"][idx[:, None], opp_list]
+    # vectorized distance sort over all k rows at once
+    dist_rows = _static_take(geom["dist_norm"], slots)      # [k, n]
+    mask = jnp.broadcast_to((enemy & sim.alive)[:, None], (n, len(slots)))
+    order, ovalid, ovals = G.sort_enemies_vals(dist_rows.T, mask)
+    opp_list = order.T[:, :m]                               # [k, m]
+    opp_valid = ovalid.T[:, :m]
+    opp_dist = ovals.T[:, :m]   # inf at invalid entries; always gated
 
     fri = jnp.asarray([fri_slot_lowlevel(i, na) for i in slots])
     fri_valid = jnp.ones_like(fri, dtype=bool)
@@ -181,8 +212,9 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str, geom=None):
         opp_valid = jnp.pad(opp_valid, ((0, 0), (0, pad)))
         opp_dist = jnp.pad(opp_dist, ((0, 0), (0, pad)))
 
-    obs, valid = build_lowlevel_obs(cfg, sim, mode, idx, opp_list, opp_valid,
-                                    opp_dist, fri, fri_valid, geom=geom)
-    opp_to_attack = jnp.where(opp_valid[:, 0] & sim.alive[idx],
-                              opp_list[:, 0], -1)
+    obs, valid = build_lowlevel_obs(cfg, sim, mode, slots, opp_list,
+                                    opp_valid, opp_dist, fri, fri_valid,
+                                    geom=geom)
+    alive_a = _static_take(sim.alive, slots)
+    opp_to_attack = jnp.where(opp_valid[:, 0] & alive_a, opp_list[:, 0], -1)
     return obs, opp_to_attack, valid

@@ -45,7 +45,8 @@ _ROCKET_SPEED = jnp.asarray(C.ROCKET_SPEED_TABLE)
 
 
 def _type_param(table, ac_type):
-    return jnp.take(table, ac_type - 1)
+    """Two-entry type table as a select (a gather would not fuse)."""
+    return jnp.where(ac_type == 1, table[0], table[1])
 
 
 def _rate_limited_heading(heading, target, max_deg):
@@ -166,35 +167,37 @@ def tick(state: SimState, key: jax.Array, num_agents: int,
     # Geometry/kinematics vectorize (aircraft no longer move this tick);
     # only the hit resolution stays a tiny unrolled loop to preserve the
     # reference's per-missile [target check, friendly check] interleaving.
+    # All slot access in the loop is one-hot select / masked where -- no
+    # gathers or scatters, so the whole phase fuses.
     tgt = state.m_target
-    d_t, _ = _inv(state.m_lat, state.m_lon, lat[tgt], lon[tgt])
-    fr_idx = jnp.where(slot == 1, 0, 1)
-    d_f, _ = _inv(state.m_lat, state.m_lon, lat[fr_idx], lon[fr_idx])
+    w_tgt = tgt[:, None] == slot[None, :]            # [missile, slot]
+    lat_tgt = jnp.sum(jnp.where(w_tgt, lat[None, :], 0.0), axis=-1)
+    lon_tgt = jnp.sum(jnp.where(w_tgt, lon[None, :], 0.0), axis=-1)
+    d_t, _ = _inv(state.m_lat, state.m_lon, lat_tgt, lon_tgt)
+    # hardcoded slot-1/2 "friendly" check (rocket_unit.py:44-52)
+    lat_fr = jnp.where(slot == 1, lat[0], lat[1])
+    lon_fr = jnp.where(slot == 1, lon[0], lon[1])
+    d_f, _ = _inv(state.m_lat, state.m_lon, lat_fr, lon_fr)
     life = state.time - state.m_fire_time
     near_t = d_t < C.ROCKET_PROXIMITY_KM
     near_f = d_f < C.ROCKET_PROXIMITY_KM
     past_eol = life > C.ROCKET_EOL_SECS
 
     m_alive = state.m_alive
-    hit_t_v = jnp.zeros(n, dtype=bool)
-    hit_f_v = jnp.zeros(n, dtype=bool)
     for i in range(n):
+        wt = w_tgt[i]                                # [n] bool, slot == tgt[i]
         act = m_alive_start[i] & m_alive[i]
-        hit_t = act & alive[tgt[i]] & near_t[i]
+        hit_t = act & jnp.any(wt & alive) & near_t[i]
         fr = 0 if i == 1 else 1
         hit_f = act & ~hit_t & friendly_check & alive[fr] & near_f[i]
         gone = hit_t | hit_f | (act & ~hit_t & ~hit_f & past_eol[i])
-        alive = alive.at[tgt[i]].set(alive[tgt[i]] & ~hit_t)
-        alive = alive.at[fr].set(alive[fr] & ~hit_f)
-        destroyed = destroyed.at[tgt[i]].set(destroyed[tgt[i]] | hit_t)
-        destroyed = destroyed.at[fr].set(destroyed[fr] | hit_f)
-        killer = killer.at[tgt[i]].set(jnp.where(hit_t, i, killer[tgt[i]]))
-        killer = killer.at[fr].set(jnp.where(hit_f, i, killer[fr]))
-        by_rocket = by_rocket.at[tgt[i]].set(by_rocket[tgt[i]] | hit_t)
-        by_rocket = by_rocket.at[fr].set(by_rocket[fr] | hit_f)
-        m_alive = m_alive.at[i].set(m_alive[i] & ~gone)
-        hit_t_v = hit_t_v.at[i].set(hit_t)
-        hit_f_v = hit_f_v.at[i].set(hit_f)
+        wf = slot == fr
+        kill = (wt & hit_t) | (wf & hit_f)
+        alive = alive & ~kill
+        destroyed = destroyed | kill
+        killer = jnp.where(kill, i, killer)
+        by_rocket = by_rocket | kill
+        m_alive = jnp.where(slot == i, m_alive & ~gone, m_alive)
 
     flying = m_alive_start & m_alive
     # heading convergence at 10 deg/s (rocket_unit.py:60-67; no wrap in the
