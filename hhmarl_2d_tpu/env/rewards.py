@@ -30,6 +30,10 @@ def combat_rewards(cfg, sim, events, opp_stats_focus, mode="LowLevel",
     the reference's ``destroyed_ids`` used to gate reward assignment.
     """
     agent_mode = agent_mode if agent_mode is not None else cfg.agent_mode
+    # Engine state is float32 by design (matches TPU); cast here so callers
+    # running under jax_enable_x64 (golden tests) don't leak float64 into the
+    # scatter-adds below.
+    opp_stats_focus = jnp.asarray(opp_stats_focus, jnp.float32)
     n, na = cfg.n_slots, cfg.num_agents
     s = cfg.rew_scale
     slot = jnp.arange(n)
