@@ -205,22 +205,28 @@ class LowLevelPPO:
             perm = jax.random.permutation(k, n_seqs)
 
             def mb_step(carry, idx):
-                params, opt_state, _ = carry
+                params, opt_state, msum = carry
                 mb_batch = jax.tree_util.tree_map(lambda x: x[idx], batch)
                 (_, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(params, mb_batch, ts.kl_coeff)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, metrics), None
+                msum = {k2: msum[k2] + metrics[k2] for k2 in msum}
+                return (params, opt_state, msum), None
 
             idxs = perm[:mb * n_mb].reshape(n_mb, mb)
             carry, _ = jax.lax.scan(mb_step, carry, idxs)
             return carry, None
 
         zero_metrics = {k: jnp.asarray(0.0) for k in self._metric_keys()}
-        (params, opt_state, metrics), _ = jax.lax.scan(
+        (params, opt_state, msum), _ = jax.lax.scan(
             sgd_pass, (ts.params, ts.opt_state, zero_metrics),
             jax.random.split(k_shuf, self.ppo.sgd_iters))
+        # epoch means over every minibatch of every pass: RLlib's update_kl
+        # feeds on the mean KL of the whole train batch, not the last
+        # minibatch (rllib PPO kl stat -> update_kl)
+        metrics = {k2: v / (self.ppo.sgd_iters * n_mb)
+                   for k2, v in msum.items()}
 
         # adaptive KL coefficient (rllib update_kl)
         kls = jnp.stack([metrics["kl_1"], metrics["kl_2"]])

@@ -214,13 +214,14 @@ class CommanderPPO:
             perm = jax.random.permutation(k, n_seqs)
 
             def mb_step(carry, idx):
-                params, opt_state, _ = carry
+                params, opt_state, msum = carry
                 mb_batch = jax.tree_util.tree_map(lambda x: x[idx], batch)
                 (_, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(params, mb_batch, ts.kl_coeff)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, metrics), None
+                msum = {k2: msum[k2] + metrics[k2] for k2 in msum}
+                return (params, opt_state, msum), None
 
             idxs = perm[:mb * n_mb].reshape(n_mb, mb)
             carry, _ = jax.lax.scan(mb_step, carry, idxs)
@@ -228,9 +229,13 @@ class CommanderPPO:
 
         zero_metrics = {k: jnp.asarray(0.0)
                         for k in ("kl", "pol_loss", "vf_loss", "entropy")}
-        (params, opt_state, metrics), _ = jax.lax.scan(
+        (params, opt_state, msum), _ = jax.lax.scan(
             sgd_pass, (ts.params, ts.opt_state, zero_metrics),
             jax.random.split(k_shuf, self.ppo.sgd_iters))
+        # epoch means over every minibatch of every pass (rllib update_kl
+        # uses the whole-train-batch mean KL, not the last minibatch)
+        metrics = {k2: v / (self.ppo.sgd_iters * n_mb)
+                   for k2, v in msum.items()}
 
         kl_coeff = jnp.where(
             metrics["kl"] > 2.0 * self.ppo.kl_target, ts.kl_coeff * 1.5,

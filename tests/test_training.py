@@ -105,3 +105,45 @@ class TestCheckpoint:
         for x, y in zip(jax.tree_util.tree_leaves(ts.params),
                         jax.tree_util.tree_leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestAdaptiveKL:
+    def test_reported_kl_is_epoch_mean(self):
+        """The KL steering update_kl must be the mean over ALL minibatches
+        of ALL sgd passes (RLlib update_kl semantics), not the last
+        minibatch.  Replays the exact in-graph SGD loop by hand."""
+        import optax
+        from flax import struct  # noqa: F401
+        cfg = ECfg.make_lowlevel_config(level=1)
+        ppo = PPOConfig(num_envs=4, rollout_len=16, seq_len=8, sgd_iters=2,
+                        num_minibatches=2)
+        tr = LowLevelPPO(cfg, ppo)
+        ts, env_state, obs = tr.init(jax.random.PRNGKey(3))
+        key = jax.random.PRNGKey(7)
+
+        _, _, _, metrics = tr.train_iter(ts, env_state, obs, key)
+
+        # hand replay: same key split, same rollout, same permutations
+        k_roll, k_shuf = jax.random.split(key)
+        _, obs_last, traj = tr._rollout(ts, env_state, obs, k_roll)
+        batch = tr._make_batch(ts, traj, obs_last)
+        n_seqs = batch.obs.shape[0]
+        n_mb = min(ppo.num_minibatches, n_seqs)
+        mb = n_seqs // n_mb
+        params, opt_state = ts.params, ts.opt_state
+        kls = {1: [], 2: []}
+        for k in jax.random.split(k_shuf, ppo.sgd_iters):
+            perm = jax.random.permutation(k, n_seqs)
+            for idx in np.asarray(perm[:mb * n_mb].reshape(n_mb, mb)):
+                mbb = jax.tree_util.tree_map(lambda x: x[idx], batch)
+                (_, m), grads = jax.value_and_grad(
+                    tr._loss, has_aux=True)(params, mbb, ts.kl_coeff)
+                updates, opt_state = tr.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                kls[1].append(float(m["kl_1"]))
+                kls[2].append(float(m["kl_2"]))
+
+        for t in (1, 2):
+            assert len(kls[t]) == ppo.sgd_iters * n_mb == 4
+            np.testing.assert_allclose(float(metrics[f"kl_{t}"]),
+                                       np.mean(kls[t]), rtol=2e-4, atol=1e-7)
