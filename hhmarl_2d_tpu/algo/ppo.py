@@ -27,6 +27,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -35,7 +36,7 @@ from hhmarl_2d_tpu.algo.gae import compute_gae
 from hhmarl_2d_tpu.env import lowlevel
 from hhmarl_2d_tpu.models import policy as P
 
-_ACT_NORM = jnp.asarray([12.0, 8.0, 1.0, 1.0])
+_ACT_NORM = np.asarray([12.0, 8.0, 1.0, 1.0], np.float32)
 
 
 @dataclasses.dataclass(frozen=True)

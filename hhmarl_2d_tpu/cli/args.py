@@ -64,6 +64,15 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--n_evals", type=int, default=1000)
 
     # TPU scale knobs (replace --num_workers/--gpu)
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="Devices in the data mesh (0 = all visible); the env "
+                        "batch shards over them, the learner replicates")
+    p.add_argument("--distributed", action=bool_flag, default=False,
+                   help="Multi-host: jax.distributed.initialize() first "
+                        "(one process per host; see parallel.mesh)")
+    p.add_argument("--profile", action=bool_flag, default=False,
+                   help="Capture a jax.profiler trace of steps 10-12 into "
+                        "the log dir")
     p.add_argument("--num_envs", type=int, default=512 if mode == 0 else 128)
     p.add_argument("--rollout_len", type=int, default=128 if mode == 0 else 64)
     p.add_argument("--seq_len", type=int, default=16 if mode == 0 else 8)

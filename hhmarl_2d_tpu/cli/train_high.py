@@ -19,9 +19,10 @@ from hhmarl_2d_tpu.cli import args as ARGS
 from hhmarl_2d_tpu.env import highlevel
 from hhmarl_2d_tpu.eval.episodes import run_episode_highlevel
 from hhmarl_2d_tpu.models import policy as P
+from hhmarl_2d_tpu.parallel import mesh as M
 from hhmarl_2d_tpu.render.plotter import plot_episode
 from hhmarl_2d_tpu.utils import checkpoint as CKPT
-from hhmarl_2d_tpu.utils.metrics import MetricsLogger
+from hhmarl_2d_tpu.utils.metrics import MetricsLogger, Profiler
 from hhmarl_2d_tpu.utils.resilience import with_retries
 
 
@@ -51,6 +52,8 @@ def main(argv=None):
     from hhmarl_2d_tpu.utils.platform import ensure_platform
     ensure_platform()
     args = ARGS.parse(1, argv)
+    if args.distributed:
+        M.setup_distributed()
     cfg = ARGS.to_env_config(args, 1)
     bank = build_hl_bank(args)
     ppo = HierPPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
@@ -59,23 +62,39 @@ def main(argv=None):
     trainer = CommanderPPO(cfg, ppo, bank)
     ts, env_state, obs, h = trainer.init(jax.random.PRNGKey(args.seed))
 
+    mesh = M.make_mesh(args.num_devices or None)
+    n_dev = mesh.devices.size
+    if ppo.num_envs % n_dev:
+        raise SystemExit(f"--num_envs {ppo.num_envs} must be divisible by "
+                         f"the {n_dev}-device mesh")
+
     ckpt_dir = os.path.join(args.log_path, "checkpoint")
     if args.restore:
         path = args.restore_path or ckpt_dir
         ts = CKPT.restore_train_state(path, ts)
         print(f"restored from {path}", flush=True)
 
+    # env batch, obs and GRU carries shard over the mesh; learner replicates
+    ts, env_state, obs, h = M.place_train_inputs(mesh, ts, env_state, obs, h)
+
     logger = MetricsLogger(args.log_path)
+    profiler = Profiler(args.log_path) if args.profile else None
     print(f"--- training {args.log_name}: {ppo.num_envs} envs x "
-          f"{ppo.rollout_len} macro-steps per iter ---", flush=True)
+          f"{ppo.rollout_len} macro-steps per iter on {n_dev} device(s) ---",
+          flush=True)
 
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs + 1):
         key, k = jax.random.split(key)
+        if profiler:
+            profiler.maybe_start(epoch)
         ts, env_state, obs, h, metrics = with_retries(
             trainer.train_iter, ts, env_state, obs, h, k,
             on_retry=lambda a, e: print(f"transient backend error, retry {a}",
                                         flush=True))
+        if profiler:
+            jax.block_until_ready(metrics["reward_mean"])
+            profiler.maybe_stop(epoch)
         if epoch % 10 == 0:
             m = {k2: float(v) for k2, v in metrics.items()}
             print(f"{epoch}) reward={m['reward_mean']:.3f} "

@@ -21,9 +21,10 @@ from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
 from hhmarl_2d_tpu.cli import args as ARGS
 from hhmarl_2d_tpu.eval.episodes import run_episode_lowlevel
 from hhmarl_2d_tpu.models import policy as P
+from hhmarl_2d_tpu.parallel import mesh as M
 from hhmarl_2d_tpu.render.plotter import plot_episode
 from hhmarl_2d_tpu.utils import checkpoint as CKPT
-from hhmarl_2d_tpu.utils.metrics import MetricsLogger
+from hhmarl_2d_tpu.utils.metrics import MetricsLogger, Profiler
 from hhmarl_2d_tpu.utils.resilience import with_retries
 
 
@@ -65,10 +66,20 @@ def main(argv=None):
     from hhmarl_2d_tpu.utils.platform import ensure_platform
     ensure_platform()
     args = ARGS.parse(0, argv)
+    if args.distributed:
+        M.setup_distributed()
     cfg = ARGS.to_env_config(args, 0)
     ppo = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
                     seq_len=args.seq_len, sgd_iters=args.sgd_iters,
                     num_minibatches=args.num_minibatches, lr=args.lr)
+
+    # rollout data-parallelism (SURVEY.md section 2 #20-21): env batch
+    # sharded over the data mesh, learner replicated, gradient psum by XLA
+    mesh = M.make_mesh(args.num_devices or None)
+    n_dev = mesh.devices.size
+    if ppo.num_envs % n_dev:
+        raise SystemExit(f"--num_envs {ppo.num_envs} must be divisible by "
+                         f"the {n_dev}-device mesh")
 
     team = P.LowLevelTeam(args.agent_mode)
     team_fight = team if args.agent_mode == "fight" else P.LowLevelTeam("fight")
@@ -84,22 +95,30 @@ def main(argv=None):
         ts = CKPT.restore_train_state(path, ts)
         print(f"restored from {path}", flush=True)
 
+    # place AFTER restore so restored arrays get the mesh shardings too
+    ts, env_state, obs = M.place_train_inputs(mesh, ts, env_state, obs)
+
     logger = MetricsLogger(args.log_path)
+    profiler = Profiler(args.log_path) if args.profile else None
     print(f"--- training {args.log_name}: level {args.level} "
           f"{args.agent_mode}, {ppo.num_envs} envs x {ppo.rollout_len} steps "
-          f"per iter ---", flush=True)
+          f"per iter on {n_dev} device(s) ---", flush=True)
 
     key = jax.random.PRNGKey(args.seed + 1)
     t_acc = 0.0
     for epoch in range(args.epochs + 1):
         key, k = jax.random.split(key)
         t0 = time.time()
+        if profiler:
+            profiler.maybe_start(epoch)
         ts, env_state, obs, metrics = with_retries(
             trainer.train_iter, ts, env_state, obs, k,
             on_retry=lambda a, e: print(f"transient backend error, retry {a}",
                                         flush=True))
-        if epoch == 0:
+        if epoch == 0 or profiler:
             jax.block_until_ready(metrics["reward_mean"])
+        if profiler:
+            profiler.maybe_stop(epoch)
         t_acc += time.time() - t0
 
         if epoch % 10 == 0:

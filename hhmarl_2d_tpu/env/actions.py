@@ -9,11 +9,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hhmarl_2d_tpu import constants as C
 from hhmarl_2d_tpu.sim import engine
 
-_MAXSPD = jnp.asarray(C.MAX_SPEED_KNOTS)
+_MAXSPD = np.asarray(C.MAX_SPEED_KNOTS, np.float32)
 
 
 def apply_actions(cfg, sim, acts, acting, opp_target, key, mode="LowLevel",
@@ -34,7 +35,8 @@ def apply_actions(cfg, sim, acts, acting, opp_target, key, mode="LowLevel",
     new_h = jnp.mod(sim.heading + (acts[:, 0].astype(jnp.float32) - 6.0) * 15.0,
                     360.0)
     # absolute speed: 100 + (max-100)/8 * a1 (env_base.py:219)
-    maxspd = _MAXSPD[sim.ac_type - 1]
+    # type-table select, not a gather (gathers don't fuse on TPU)
+    maxspd = jnp.where(sim.ac_type == 1, _MAXSPD[0], _MAXSPD[1])
     new_s = 100.0 + ((maxspd - 100.0) / 8.0) * acts[:, 1].astype(jnp.float32)
     sim = engine.set_heading(sim, new_h, acting)
     sim = engine.set_speed(sim, new_s, acting)

@@ -30,18 +30,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hhmarl_2d_tpu import constants as C
 from hhmarl_2d_tpu import geo
 from hhmarl_2d_tpu.sim.state import SimState, TickEvents, blank_events
 
-_TURN = jnp.asarray(C.TURN_RATE_DEG_S)
-_ACCEL = jnp.asarray(C.ACCEL_KNOTS_S)
-_CAN_RANGE = jnp.asarray(C.CANNON_RANGE_KM)
-_CAN_WIDTH = jnp.asarray(C.CANNON_WIDTH_DEG)
-_CAN_BURST = jnp.asarray(C.CANNON_BURST_SECS)
-_CAN_PROB = jnp.asarray(C.CANNON_HIT_PROB)
-_ROCKET_SPEED = jnp.asarray(C.ROCKET_SPEED_TABLE)
+# numpy (not jnp) so importing this module never initializes a JAX
+# backend -- the CLI drivers must be able to pick the platform first
+_TURN = np.asarray(C.TURN_RATE_DEG_S, np.float32)
+_ACCEL = np.asarray(C.ACCEL_KNOTS_S, np.float32)
+_CAN_RANGE = np.asarray(C.CANNON_RANGE_KM, np.float32)
+_CAN_WIDTH = np.asarray(C.CANNON_WIDTH_DEG, np.float32)
+_CAN_BURST = np.asarray(C.CANNON_BURST_SECS, np.float32)
+_CAN_PROB = np.asarray(C.CANNON_HIT_PROB, np.float32)
+_ROCKET_SPEED = np.asarray(C.ROCKET_SPEED_TABLE, np.float32)
 
 
 def _type_param(table, ac_type):
@@ -83,12 +86,19 @@ def _inv(lat_a, lon_a, lat_b, lon_b):
 
 
 def tick(state: SimState, key: jax.Array, num_agents: int,
-         friendly_check: bool = True) -> tuple[SimState, TickEvents]:
+         friendly_check: bool = True, u_cannon=None,
+         u_steer=None) -> tuple[SimState, TickEvents]:
     """Advance the battle by one second.
 
     ``num_agents`` is static (team boundary slot).  ``friendly_check``
     mirrors args.friendly_kill: when True, cannon and missiles can also hit
     teammates (ac1.py:109, rocket_unit.py:44-52).
+
+    ``u_cannon`` [n, n] / ``u_steer`` [n] optionally inject the tick's
+    uniform draws (cannon-hit rolls in [0,1); missile steering-noise
+    multipliers, nominally in [0.95, 1.05]) -- used by the differential
+    parity harness to feed both this engine and the reference simulator the
+    same random stream.  Default: drawn from ``key``.
     """
     n = state.n_slots
     ev = blank_events(n)
@@ -96,9 +106,11 @@ def tick(state: SimState, key: jax.Array, num_agents: int,
     m_alive_start = state.m_alive
 
     k_cannon, k_steer = jax.random.split(key)
-    u_cannon = jax.random.uniform(k_cannon, (n, n), dtype=jnp.float32)
-    u_steer = jax.random.uniform(k_steer, (n,), dtype=jnp.float32,
-                                 minval=0.95, maxval=1.05)
+    if u_cannon is None:
+        u_cannon = jax.random.uniform(k_cannon, (n, n), dtype=jnp.float32)
+    if u_steer is None:
+        u_steer = jax.random.uniform(k_steer, (n,), dtype=jnp.float32,
+                                     minval=0.95, maxval=1.05)
 
     team = jnp.arange(n) < num_agents  # True = agent side
     slot = jnp.arange(n)

@@ -83,6 +83,38 @@ class TestSharding:
         out = jax.jit(fn)(*args)
         assert out[0].shape == (8, 16, 2, 26)
 
+    def test_mesh_metrics_match_single_device(self, tiny_trainer):
+        """Sharding the env batch over the 8-device mesh must not change
+        the training math: metrics agree with the 1-device run."""
+        from hhmarl_2d_tpu.parallel import mesh as M
+        tr, ts, env_state, obs = tiny_trainer
+        key = jax.random.PRNGKey(11)
+        outs = {}
+        for n_dev in (1, 8):
+            mesh = M.make_mesh(n_dev)
+            with mesh:
+                ts_p, es_p, obs_p = M.place_train_inputs(
+                    mesh, ts, env_state, obs)
+                ts2, _, _, m = tr.train_iter(ts_p, es_p, obs_p, key)
+                outs[n_dev] = (jax.device_get(m),
+                               jax.device_get(ts2.kl_coeff))
+        m1, m8 = outs[1][0], outs[8][0]
+        for k in m1:
+            np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m8[k]),
+                                       rtol=1e-5, atol=1e-7, err_msg=k)
+        np.testing.assert_allclose(outs[1][1], outs[8][1])
+
+    def test_train_low_cli_on_mesh(self, tmp_path):
+        """The real driver reaches the mesh path: --num_devices 8."""
+        from hhmarl_2d_tpu.cli import train_low
+        train_low.main([
+            "--level", "1", "--epochs", "1", "--num_envs", "8",
+            "--rollout_len", "8", "--seq_len", "4", "--sgd_iters", "1",
+            "--num_minibatches", "1", "--num_devices", "8", "--no-eval",
+            "--log_base", str(tmp_path)])
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "L1_fight_2-vs-2", "metrics.jsonl"))
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tiny_trainer, tmp_path):
