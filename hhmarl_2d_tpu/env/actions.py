@@ -54,7 +54,7 @@ def apply_actions(cfg, sim, acts, acting, opp_target, key, mode="LowLevel",
     # fire_missile.
     attempt = (acting & (sim.ac_type == 1) & (acts[:, 3] > 0)
                & (opp_target >= 0) & (sim.missile_remain > 0)
-               & ~sim.m_alive & (sim.missile_wait == 0))
+               & ~sim.m_ptr & (sim.missile_wait == 0))
     sim = engine.fire_missiles(sim, attempt, opp_target)
 
     lo, hi = C.MISSILE_WAIT_LL if mode == "LowLevel" else C.MISSILE_WAIT_HL
@@ -65,7 +65,7 @@ def apply_actions(cfg, sim, acts, acting, opp_target, key, mode="LowLevel",
         & (mode == "LowLevel") & (agent_mode == "escape"),
         -0.1, 0.0)
 
-    # decrement while no missile is in flight (env_base.py:235-236); a
-    # failed attempt therefore immediately ticks its own fresh cooldown.
-    wait = jnp.where(acting & (wait > 0) & ~sim.m_alive, wait - 1, wait)
+    # decrement while the missile pointer is clear (env_base.py:235-236);
+    # a failed attempt therefore immediately ticks its own fresh cooldown.
+    wait = jnp.where(acting & (wait > 0) & ~sim.m_ptr, wait - 1, wait)
     return sim.replace(missile_wait=wait), pen

@@ -56,8 +56,10 @@ def slot_features(cfg, sim):
                        C.MAX_SPEED_KNOTS[1])
     v = jnp.clip(sim.speed / maxspd, 0.0, 1.0)
     h = jnp.clip(jnp.mod(sim.heading, 359.0) / 359.0, 0.0, 1.0)
+    # bool(unit.actual_missile): the pointer, which lags the missile's
+    # removal by one tick (see SimState.m_ptr)
     shot = ((sim.cannon_burst > 0.0)
-            | (sim.m_alive & (sim.ac_type == 1))).astype(jnp.float32)
+            | (sim.m_ptr & (sim.ac_type == 1))).astype(jnp.float32)
     cannon = jnp.clip(sim.cannon_remain / sim.cannon_max, 0.0, 1.0)
     missile = jnp.clip(
         sim.missile_remain

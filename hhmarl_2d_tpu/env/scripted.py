@@ -40,7 +40,7 @@ def _missile_attempt(cfg, sim, i, steps, key, geom=None):
     tgt, tgt_valid, _, _ = _closest_agent(cfg, sim, i, geom)
     window = jnp.isin(jnp.mod(steps, 40), jnp.asarray([0, 1, 2]))
     mask = jnp.zeros(cfg.n_slots, dtype=bool).at[i].set(
-        sim.alive[i] & ~sim.m_alive[i] & window & coin
+        sim.alive[i] & ~sim.m_ptr[i] & window & coin
         & (sim.missile_wait[i] == 0) & (sim.ac_type[i] == 1) & tgt_valid)
     sim = engine.fire_missiles(
         sim, mask, jnp.full(cfg.n_slots, tgt, dtype=jnp.int32))
@@ -163,7 +163,7 @@ def level3(cfg, sim, steps, escaping, esc_time, key, geom=None):
         sim = engine.fire_cannon(sim, mask & fire)
 
         m_mask = jnp.zeros(n, dtype=bool).at[i].set(
-            alive_i & fire_m & ~sim.m_alive[i] & (sim.missile_wait[i] == 0)
+            alive_i & fire_m & ~sim.m_ptr[i] & (sim.missile_wait[i] == 0)
             & (sim.ac_type[i] == 1))
         sim = engine.fire_missiles(sim, m_mask,
                                    jnp.full(n, tgt, dtype=jnp.int32))

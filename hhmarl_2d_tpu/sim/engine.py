@@ -169,6 +169,11 @@ def tick(state: SimState, key: jax.Array, num_agents: int,
     alive = alive_start & ~destroyed
     heading, speed = new_heading, new_speed
 
+    # the shooter's stale actual_missile pointer clears during its own
+    # update (ac1.py:118-120): pointer set but missile gone at tick start
+    m_ptr = jnp.where(alive_start & state.m_ptr & ~m_alive_start, False,
+                      state.m_ptr)
+
     # missile steering by the (snapshot-alive) shooter (ac1.py:118-128)
     steer = alive_start & m_alive_start
     m_tgt_heading = jnp.where(
@@ -227,8 +232,8 @@ def tick(state: SimState, key: jax.Array, num_agents: int,
     new_state = state.replace(
         lat=lat, lon=lon, heading=heading, speed=speed,
         alive=alive, cannon_burst=cannon_burst, cannon_remain=cannon_remain,
-        m_alive=m_alive, m_lat=m_lat, m_lon=m_lon, m_heading=m_heading,
-        m_tgt_heading=m_tgt_heading,
+        m_alive=m_alive, m_ptr=m_ptr, m_lat=m_lat, m_lon=m_lon,
+        m_heading=m_heading, m_tgt_heading=m_tgt_heading,
         time=state.time + 1,
     )
     return new_state, TickEvents(destroyed=destroyed, killer=killer,
@@ -276,6 +281,7 @@ def fire_missiles(state: SimState, want: jnp.ndarray,
 
     return state.replace(
         m_alive=jnp.where(ok, True, state.m_alive),
+        m_ptr=jnp.where(ok, True, state.m_ptr),
         m_lat=jnp.where(ok, state.lat, state.m_lat),
         m_lon=jnp.where(ok, state.lon, state.m_lon),
         m_heading=jnp.where(ok, state.heading, state.m_heading),

@@ -51,6 +51,12 @@ class SimState:
 
     # in-flight missile per aircraft slot
     m_alive: jnp.ndarray
+    # the shooter's ``actual_missile`` pointer (ac1.py:73,118-120): set on
+    # launch, cleared only during the shooter's NEXT update after the
+    # missile is removed -- so it lags m_alive by one tick.  Re-fire
+    # gating, cooldown decrement and the obs "shot" flag read this, not
+    # m_alive (env_base.py:227-236, fight_state_values :145).
+    m_ptr: jnp.ndarray
     m_lat: jnp.ndarray
     m_lon: jnp.ndarray
     m_heading: jnp.ndarray
@@ -76,7 +82,8 @@ def blank_state(n_slots: int) -> SimState:
         alive=b(), ac_type=i(1),
         cannon_remain=f(), cannon_burst=f(), cannon_max=f(C.CANNON_MAX_SECS[0]),
         missile_remain=i(), rocket_max=i(), missile_wait=i(),
-        m_alive=b(), m_lat=f(), m_lon=f(), m_heading=f(), m_tgt_heading=f(),
+        m_alive=b(), m_ptr=b(), m_lat=f(), m_lon=f(), m_heading=f(),
+        m_tgt_heading=f(),
         m_target=i(), m_fire_time=i(),
         time=jnp.asarray(0, dtype=jnp.int32),
     )
