@@ -1,35 +1,51 @@
 #!/usr/bin/env python
-"""Throughput benchmark: vectorized 2-vs-2 low-level env stepping.
+"""Throughput benchmark.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline metric is aggregate simulated
+env-steps/s on this chip for the full level-1 fight environment (obs build
++ actions + tick + rewards + auto-reset) with policy networks in the loop
+at 4096 vectorized envs -- the BASELINE.json configuration; vs_baseline
+compares against the per-chip share of the >=1M env-steps/s @ v5p-16
+(8 chips) north star.  The same line carries the full-training figures
+(BASELINE.json metric "PPO updates/s"): train_iter_per_s and
+ppo_updates_per_s measure the complete fused train iteration (rollout +
+GAE + minibatched SGD) at the driver's production configuration.
 
-Metric: aggregate simulated env-steps/s on this chip while running the
-full level-1 fight environment (obs build + actions + tick + rewards +
-auto-reset) with policy networks in the loop, at 4096 vectorized envs --
-the BASELINE.json configuration.  vs_baseline compares against the
-per-chip share of the >=1M env-steps/s @ v5p-16 (8 chips) north star,
-i.e. 125k env-steps/s/chip.
+Modes:
+  python bench.py                 rollout + train benchmarks (one line)
+  python bench.py --mode rollout  rollout benchmark only
+  python bench.py --mode train    train-iteration benchmark only
+  python bench.py --mode scaling  8-virtual-device CPU weak-scaling check
+                                  (re-execs itself under a CPU mesh)
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-
-from hhmarl_2d_tpu.env import config as ECfg
-from hhmarl_2d_tpu.env import lowlevel
-from hhmarl_2d_tpu.models import policy as P
 
 NUM_ENVS = 4096
 ROLLOUT = 256
 BASELINE_PER_CHIP = 125_000.0  # 1M / 8 chips (v5p-16)
 
+# production training shape (cli/args.py defaults at bench scale)
+TRAIN_ENVS = 4096
+TRAIN_ROLLOUT = 128
+SGD_ITERS = 4
+NUM_MB = 8
 
-def main():
+
+def bench_rollout():
+    import jax
+    import jax.numpy as jnp
+    from hhmarl_2d_tpu.env import config as ECfg
+    from hhmarl_2d_tpu.env import lowlevel
+    from hhmarl_2d_tpu.models import policy as P
+
     cfg = ECfg.make_lowlevel_config(level=1)
     team = P.LowLevelTeam("fight")
     key = jax.random.PRNGKey(0)
@@ -52,25 +68,112 @@ def main():
         return env_state, obs, jnp.sum(rews)
 
     run = jax.jit(rollout, donate_argnums=(1, 2))
-
-    # warmup / compile
     env_state, obs, _ = run(params, env_state, obs, jax.random.PRNGKey(1))
     jax.block_until_ready(obs)
 
     t0 = time.time()
     n_iters = 4
     for i in range(n_iters):
-        env_state, obs, s = run(params, env_state, obs, jax.random.PRNGKey(2 + i))
+        env_state, obs, s = run(params, env_state, obs,
+                                jax.random.PRNGKey(2 + i))
     jax.block_until_ready(obs)
     dt = time.time() - t0
+    return NUM_ENVS * ROLLOUT * n_iters / dt
 
-    steps_per_s = NUM_ENVS * ROLLOUT * n_iters / dt
-    print(json.dumps({
-        "metric": "env_steps_per_sec_per_chip",
-        "value": round(steps_per_s),
-        "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_s / BASELINE_PER_CHIP, 3),
-    }))
+
+def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None):
+    """Full train_iter (rollout + GAE + SGD) iterations per second."""
+    import jax
+    from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+    from hhmarl_2d_tpu.env import config as ECfg
+    from hhmarl_2d_tpu.parallel import mesh as M
+
+    cfg = ECfg.make_lowlevel_config(level=1)
+    ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT,
+                    seq_len=16, sgd_iters=SGD_ITERS, num_minibatches=NUM_MB)
+    tr = LowLevelPPO(cfg, ppo)
+    ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
+    mesh = M.make_mesh(num_devices)
+    with mesh:
+        ts, env_state, obs = M.place_train_inputs(mesh, ts, env_state, obs)
+        ts, env_state, obs, m = tr.train_iter(ts, env_state, obs,
+                                              jax.random.PRNGKey(1))
+        jax.block_until_ready(m["reward_mean"])
+        t0 = time.time()
+        for i in range(n_iters):
+            ts, env_state, obs, m = tr.train_iter(
+                ts, env_state, obs, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(m["reward_mean"])
+        dt = time.time() - t0
+    return n_iters / dt
+
+
+def bench_scaling():
+    """Weak-scaling on the 8-virtual-device CPU mesh: 8x envs on 8 devices
+    vs 1x envs on 1 device (run in a fresh CPU-pinned interpreter)."""
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    code = (
+        "import sys; sys.path.insert(0, %r); import bench, json\n"
+        "r1 = bench.bench_train(num_envs=64, n_iters=2, num_devices=1)\n"
+        "r8 = bench.bench_train(num_envs=512, n_iters=2, num_devices=8)\n"
+        "print(json.dumps({'iters_per_s_1dev': r1, 'iters_per_s_8dev': r8}))"
+        % os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1500)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    # weak scaling: per-device work constant, so efficiency = t1/t8
+    eff = r["iters_per_s_8dev"] / r["iters_per_s_1dev"]
+    return {
+        "metric": "weak_scaling_efficiency_8dev_cpu",
+        "value": round(eff, 3),
+        "unit": "x (1.0 = linear)",
+        "vs_baseline": round(eff, 3),
+        "iters_per_s_1dev_64env": round(r["iters_per_s_1dev"], 3),
+        "iters_per_s_8dev_512env": round(r["iters_per_s_8dev"], 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("all", "rollout", "train", "scaling"),
+                    default="all")
+    args = ap.parse_args()
+
+    if args.mode == "scaling":
+        print(json.dumps(bench_scaling()))
+        return
+
+    out = {}
+    if args.mode in ("all", "rollout"):
+        steps_per_s = bench_rollout()
+        out.update({
+            "metric": "env_steps_per_sec_per_chip",
+            "value": round(steps_per_s),
+            "unit": "env-steps/s",
+            "vs_baseline": round(steps_per_s / BASELINE_PER_CHIP, 3),
+        })
+    if args.mode in ("all", "train"):
+        iters_per_s = bench_train()
+        train_steps = iters_per_s * TRAIN_ENVS * TRAIN_ROLLOUT
+        extra = {
+            "train_iter_per_s": round(iters_per_s, 3),
+            "ppo_updates_per_s": round(iters_per_s * SGD_ITERS * NUM_MB, 2),
+            "train_env_steps_per_s": round(train_steps),
+            "train_batch": TRAIN_ENVS * TRAIN_ROLLOUT,
+        }
+        if args.mode == "train":
+            out.update({
+                "metric": "train_env_steps_per_sec_per_chip",
+                "value": round(train_steps),
+                "unit": "env-steps/s (through full PPO train_iter)",
+                "vs_baseline": round(train_steps / BASELINE_PER_CHIP, 3),
+            })
+        out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

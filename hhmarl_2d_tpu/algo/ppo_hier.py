@@ -28,7 +28,6 @@ from hhmarl_2d_tpu.algo.gae import compute_gae
 from hhmarl_2d_tpu.env import highlevel
 from hhmarl_2d_tpu.models.commander import CommanderGru, GRU_SIZE
 
-NVEC_HL = (C.ACT_DIM_HL,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,18 +66,22 @@ class CommanderPPO:
         self.cfg = cfg_env
         self.ppo = ppo
         self.bank = bank
-        self.model = CommanderGru()
-        self.tx = optax.adam(ppo.lr)
         self.na = cfg_env.num_agents
+        self.model = CommanderGru(n_opp=cfg_env.n_opp_hl,
+                                  num_agents=self.na)
+        self.nvec = (cfg_env.act_dim_hl,)
+        self.tx = optax.adam(ppo.lr)
         assert ppo.rollout_len % ppo.seq_len == 0
 
     def init(self, key):
         k_model, k_env = jax.random.split(key)
-        d = C.OBS_HL
+        d = self.cfg.obs_hl
         z = jnp.zeros((1, 1, d))
+        zo = jnp.zeros((1, 1, self.na - 1, d))
         za = jnp.zeros((1, 1, 1))
+        zao = jnp.zeros((1, 1, self.na - 1, 1))
         h = jnp.zeros((1, GRU_SIZE))
-        params = self.model.init(k_model, z, z, z, za, za, za, h, h)
+        params = self.model.init(k_model, z, zo, za, zao, h, h)
         opt_state = self.tx.init(params)
         env_keys = jax.random.split(k_env, self.ppo.num_envs)
         env_state, obs = jax.vmap(lambda k: highlevel.reset(self.cfg, k))(env_keys)
@@ -101,10 +104,11 @@ class CommanderPPO:
             act_norm = jnp.zeros((B, T, self.na, 1))
         logits, values, h_new = [], [], []
         for i in range(self.na):
-            o2, o3 = _others(i, self.na)
+            others = _others(i, self.na)
+            obs_o = jnp.stack([obs[:, :, j] for j in others], axis=2)
+            act_o = jnp.stack([act_norm[:, :, j] for j in others], axis=2)
             lg, v, (ha, hv) = self.model.apply(
-                params, obs[:, :, i], obs[:, :, o2], obs[:, :, o3],
-                act_norm[:, :, i], act_norm[:, :, o2], act_norm[:, :, o3],
+                params, obs[:, :, i], obs_o, act_norm[:, :, i], act_o,
                 h[:, i, 0], h[:, i, 1], reset)
             logits.append(lg)
             values.append(v)
@@ -119,10 +123,10 @@ class CommanderPPO:
             params, obs[:, None], None, h)
         logits, values = logits[:, 0], values[:, 0]
         if greedy:
-            a = D.mode(logits, NVEC_HL)[..., 0]
+            a = D.mode(logits, self.nvec)[..., 0]
         else:
-            a = D.sample(logits, NVEC_HL, key)[..., 0]
-        lp = D.log_prob(logits, NVEC_HL, a[..., None])
+            a = D.sample(logits, self.nvec, key)[..., 0]
+        lp = D.log_prob(logits, self.nvec, a[..., None])
         return a.astype(jnp.int32), lp, values, logits, h_new
 
     # --- rollout + batch ---------------------------------------------------
@@ -178,18 +182,18 @@ class CommanderPPO:
 
     def _loss(self, params, batch, kl_coeff):
         act_norm = (batch["actions"].astype(jnp.float32)
-                    / C.N_OPP_HL)[..., None]
+                    / self.cfg.n_opp_hl)[..., None]
         logits, values, _ = self._forward_agents(
             params, batch["obs"], act_norm, batch["h0"], batch["reset"])
-        lp = D.log_prob(logits, NVEC_HL, batch["actions"][..., None])
+        lp = D.log_prob(logits, self.nvec, batch["actions"][..., None])
         ratio = jnp.exp(lp - batch["logp"])
         adv = batch["adv"]
         surr = jnp.minimum(
             ratio * adv,
             jnp.clip(ratio, 1 - self.ppo.clip, 1 + self.ppo.clip) * adv)
-        kl = jnp.mean(D.kl(batch["logits"], logits, NVEC_HL))
+        kl = jnp.mean(D.kl(batch["logits"], logits, self.nvec))
         vf = jnp.clip((values - batch["targets"]) ** 2, 0.0, self.ppo.vf_clip)
-        ent = D.entropy(logits, NVEC_HL)
+        ent = D.entropy(logits, self.nvec)
         loss = (-jnp.mean(surr) + kl_coeff * kl
                 + self.ppo.vf_coeff * jnp.mean(vf)
                 - self.ppo.entropy_coeff * jnp.mean(ent))

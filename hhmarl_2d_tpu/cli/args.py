@@ -30,6 +30,9 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--num_agents", type=int, default=2 if mode == 0 else 3)
     p.add_argument("--num_opps", type=int, default=2 if mode == 0 else 3)
     p.add_argument("--hier_opp_fight_ratio", type=int, default=75)
+    p.add_argument("--n_opp_hl", type=int, default=C.N_OPP_HL,
+                   help="Opponents in the commander obs/action space "
+                        "(reference bakes 2, envs/env_hier.py:20)")
 
     p.add_argument("--eval", action=bool_flag, default=True)
     p.add_argument("--render", action=bool_flag, default=False)
@@ -62,6 +65,11 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--eval_level_ag", type=int, default=5)
     p.add_argument("--eval_level_opp", type=int, default=4)
     p.add_argument("--n_evals", type=int, default=1000)
+    p.add_argument("--eval_chunk", type=int, default=256,
+                   help="Episodes per vmapped eval chunk (memory bound)")
+    p.add_argument("--sweep_fight_ratio", action=bool_flag, default=False,
+                   help="Evaluate across hier_opp_fight_ratio in "
+                        "{0,25,50,75,100} and write a sweep table")
 
     # TPU scale knobs (replace --num_workers/--gpu)
     p.add_argument("--num_devices", type=int, default=0,
@@ -145,7 +153,8 @@ def to_env_config(args, mode: int) -> ECfg.EnvConfig:
         esc_dist_rew=args.esc_dist_rew, friendly_kill=args.friendly_kill,
         friendly_punish=args.friendly_punish,
         hier_opp_fight_ratio=args.hier_opp_fight_ratio,
-        hier_action_assess=args.hier_action_assess)
+        hier_action_assess=args.hier_action_assess,
+        n_opp_hl=args.n_opp_hl)
 
 
 def parse(mode: int, argv=None):

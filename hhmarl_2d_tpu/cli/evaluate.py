@@ -49,15 +49,48 @@ def main(argv=None):
         ts = CKPT.restore_train_state(check, ts)
         params = ts.params
 
+    if args.sweep_fight_ratio:
+        table = harness.sweep_fight_ratio(
+            cfg, model, params, bank, args.n_evals,
+            jax.random.PRNGKey(args.seed), eval_hl=args.eval_hl,
+            chunk_size=args.eval_chunk)
+        sweep_file = os.path.join(eval_log, f"Metrics_{config}_sweep.json")
+        with open(sweep_file, "w") as f:
+            import json
+            json.dump(table, f, indent=3)
+        print("------FIGHT-RATIO SWEEP:")
+        for r, ev in table.items():
+            print(f"ratio {r}: win {ev['win']:.1f} lose {ev['lose']:.1f} "
+                  f"draw {ev['draw']:.1f}")
+        print(f"-> {sweep_file}")
+        print(f"------TIME: {round(time.time() - t1, 3)} sec.")
+        return
+
     stats = harness.evaluate_highlevel(
         cfg, model, params, bank, args.n_evals,
-        jax.random.PRNGKey(args.seed), eval_hl=args.eval_hl)
+        jax.random.PRNGKey(args.seed), eval_hl=args.eval_hl,
+        chunk_size=args.eval_chunk)
     print("------RESULTS:")
     evals = harness.postprocess_eval(stats, args.n_evals, eval_file)
     for k, v in evals.items():
         print(f"{k}: {round(v, 2)}")
     print(f"episodes finished within MAX_MACRO: {stats['finished']}"
           f"/{args.n_evals}")
+
+    if args.render and args.render_every:
+        # rendered episodes every N (evaluation.py:61-62): re-run those
+        # episodes greedily and drop PNG frames into the eval dir
+        from hhmarl_2d_tpu.eval.episodes import run_episode_highlevel
+        from hhmarl_2d_tpu.render.plotter import plot_episode
+        for ep in range(0, args.n_evals, args.render_every):
+            k_ep = jax.random.fold_in(jax.random.PRNGKey(args.seed), ep)
+            rew, steps, _, trace = run_episode_highlevel(
+                cfg, model, params, bank, k_ep,
+                fixed_action=None if args.eval_hl else 1,
+                max_macro=harness.MAX_MACRO)
+            png = os.path.join(eval_log, f"Ep_{ep}_Rew_{round(rew, 2)}.png")
+            plot_episode(trace, png, status=f"eval episode {ep}")
+            print(f"rendered {png}")
     print(f"------TIME: {round(time.time() - t1, 3)} sec.")
 
 

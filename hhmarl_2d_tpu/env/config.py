@@ -34,10 +34,23 @@ class EnvConfig:
     # high-level (config.py:23,44)
     hier_opp_fight_ratio: int = 75
     hier_action_assess: bool = True
+    # opponents in the commander obs / action space (the reference bakes
+    # N_OPP_HL=2 into three files, envs/env_hier.py:20; here it is config)
+    n_opp_hl: int = 2
 
     @property
     def total_num(self) -> int:
         return self.num_agents + self.num_opps
+
+    @property
+    def obs_hl(self) -> int:
+        """Commander obs width: own 4 + 10 per listed opp + 2x5 friendly."""
+        return 14 + 10 * self.n_opp_hl
+
+    @property
+    def act_dim_hl(self) -> int:
+        """Commander action space: escape + n_opp_hl targets."""
+        return self.n_opp_hl + 1
 
     @property
     def n_slots(self) -> int:
@@ -49,8 +62,9 @@ def make_lowlevel_config(level: int = 1, agent_mode: str = "fight",
     """Defaults of Config(0) (config.py:20-22,38,94-98)."""
     kw.setdefault("horizon", C.HORIZON_LEVEL[level])
     kw.setdefault("map_size", C.DEFAULT_MAP_SIZE_LL)
-    return EnvConfig(level=level, agent_mode=agent_mode, num_agents=2,
-                     num_opps=2, **kw)
+    kw.setdefault("num_agents", 2)
+    kw.setdefault("num_opps", 2)
+    return EnvConfig(level=level, agent_mode=agent_mode, **kw)
 
 
 def make_highlevel_config(**kw) -> EnvConfig:

@@ -120,6 +120,42 @@ _SORT_NETWORKS = {
 }
 
 
+def _batcher_network(n):
+    """Batcher's merge-exchange sorting network (Knuth 5.2.2 Algorithm M)
+    for arbitrary n -- used beyond the hand-optimal tables above so
+    n-vs-m scenarios of any size (5v5 = 10 slots, 8v8 = 16, ...) sort with
+    the same fused where-select formulation."""
+    net = []
+    t = 1
+    while (1 << t) < n:
+        t += 1
+    p = 1 << (t - 1)
+    while p > 0:
+        q = 1 << (t - 1)
+        r = 0
+        d = p
+        while True:
+            for i in range(n - d):
+                if (i & p) == r:
+                    net.append((i, i + d))
+            if q == p:
+                break
+            d = q - p
+            q >>= 1
+            r = p
+        p >>= 1
+    return tuple(net)
+
+
+def sort_network(n):
+    """Comparator network for n slots: optimal tables to n=8, Batcher
+    merge-exchange beyond."""
+    net = _SORT_NETWORKS.get(n)
+    if net is None:
+        net = _SORT_NETWORKS[n] = _batcher_network(n)
+    return net
+
+
 def sort_enemies(dist_norm_row, enemy_mask):
     """Alive enemies of one slot ordered by distance (_nearby_object,
     env_base.py:400-422).
@@ -139,7 +175,7 @@ def sort_enemies_vals(dist_norm_row, enemy_mask):
     """sort_enemies, also returning the sorted masked distances [n, ...]
     (inf past the last valid entry) so callers don't re-gather them."""
     n = dist_norm_row.shape[0]
-    net = _SORT_NETWORKS[n]
+    net = sort_network(n)
     v = [jnp.where(enemy_mask[i], dist_norm_row[i], jnp.inf) for i in range(n)]
     o = [jnp.full(dist_norm_row.shape[1:], i, jnp.int32) for i in range(n)]
     m = [enemy_mask[i] for i in range(n)]

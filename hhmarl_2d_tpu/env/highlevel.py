@@ -276,7 +276,7 @@ def step(cfg, state: HLState, commander_actions, bank, key):
         "opp_fight": of, "opp_escape": oe,
         "agent_steps": af + ae, "opp_steps": of + oe,
     }
-    for k in range(1, 4):
+    for k in range(1, max(3, cfg.n_opp_hl) + 1):
         info[f"opp{k}"] = jnp.sum(a_alive & (ca[:na] == k))
     info = {k: v.astype(jnp.int32) for k, v in info.items()}
 

@@ -61,8 +61,8 @@ def commander_obs(cfg, sim):
 
     a_order, a_valid, a_vals = _side_sorted(cfg, sim, geom, "agent", m)
     o_order, o_valid, o_vals = _side_sorted(cfg, sim, geom, "opp", m)
-    # cap the stored agent lists at N_OPP_HL (env_hier.py:70-74)
-    a_valid = a_valid & (jnp.arange(m) < C.N_OPP_HL)
+    # cap the stored agent lists at n_opp_hl (env_hier.py:70-74)
+    a_valid = a_valid & (jnp.arange(m) < cfg.n_opp_hl)
     lists = jnp.concatenate([a_order, o_order])
     valids = jnp.concatenate([a_valid, o_valid])
     dists = jnp.concatenate([a_vals, o_vals])
@@ -79,7 +79,8 @@ def commander_obs(cfg, sim):
     own = jnp.stack([O._static_take(f[k], agents) for k in "xyvh"], axis=-1)
 
     blocks = [own]
-    for col in range(C.N_OPP_HL):
+    pad_cols = max(cfg.n_opp_hl - m, 0)  # fewer real opponents than listed
+    for col in range(min(cfg.n_opp_hl, m)):
         w = G.onehot_slot(a_order[:, col], n)           # [na, n]
         block = jnp.stack([
             G.sel(f["x"], w), G.sel(f["y"], w),
@@ -89,6 +90,9 @@ def commander_obs(cfg, sim):
             G.sel_rows(aspect_to, w), G.sel_rows(aspect_from, w),
             G.sel_rows(dist_rows, w)], axis=-1)
         blocks.append(jnp.where(a_valid[:, col][:, None], block, 0.0))
+
+    if pad_cols:
+        blocks.append(jnp.zeros((na, 10 * pad_cols)))
 
     # two closest-friendly 5-blocks (env_hier.py:77-84)
     e = jnp.arange(n)

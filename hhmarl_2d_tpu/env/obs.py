@@ -76,6 +76,23 @@ def fri_slot_lowlevel(i: int, num_agents: int) -> int:
     return num_agents if i == num_agents + 1 else num_agents + 1
 
 
+def closest_teammates(cfg, sim, slots, geom):
+    """Nearest alive same-team slot for each slot in ``slots`` -- the
+    partner rule for k-vs-m teams beyond the reference's fixed 2-vs-2
+    pairing (matches the high-level env's choice, env_hier.py:106-107).
+    Returns (fri_slot [k], fri_valid [k])."""
+    n, na = cfg.n_slots, cfg.num_agents
+    e = jnp.arange(n)
+    fri_slot, fri_valid = [], []
+    for i in slots:
+        same = (e < na) if i < na else (e >= na)
+        same = same & sim.alive & (e != i)
+        order, valid = G.sort_enemies(geom["dist_norm"][i], same)
+        fri_slot.append(order[0])
+        fri_valid.append(valid[0])
+    return jnp.stack(fri_slot), jnp.stack(fri_valid)
+
+
 def build_lowlevel_obs(cfg, sim, mode: str, idx, opp_list, opp_list_valid,
                        opp_list_dist, fri_slot, fri_valid, geom=None,
                        feats=None):
@@ -204,8 +221,12 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str, geom=None):
     opp_valid = ovalid.T[:, :m]
     opp_dist = ovals.T[:, :m]   # inf at invalid entries; always gated
 
-    fri = jnp.asarray([fri_slot_lowlevel(i, na) for i in slots])
-    fri_valid = jnp.ones_like(fri, dtype=bool)
+    if na == 2 and cfg.num_opps == 2:
+        # exact fixed-partner rule of the reference's 2-vs-2 setup
+        fri = jnp.asarray([fri_slot_lowlevel(i, na) for i in slots])
+        fri_valid = jnp.ones_like(fri, dtype=bool)
+    else:
+        fri, fri_valid = closest_teammates(cfg, sim, slots, geom)
 
     # escape mode reads exactly 2 opponent columns (env_base.py:155-162)
     if opp_list.shape[1] < 2:

@@ -50,36 +50,43 @@ def combat_rewards(cfg, sim, events, opp_stats_focus, mode="LowLevel",
     killer = events.killer
     killer_is_agent = (killer >= 0) & (killer < na)
     killer_c = jnp.clip(killer, 0, n - 1)
+    # one-hot killer maps instead of gathers/scatter-adds: [n(dest), n(slot)]
+    # and its [na] credit projection -- everything fuses on TPU
+    w_killer = G.onehot_slot(killer_c, n)                 # [n, n]
+    credit = (killer_c[None, :] == jnp.arange(na)[:, None])  # [na, n(dest)]
 
     # agent killed an opponent (env_base.py:269-287)
     opp_killed_by_agent = destroyed & ~is_agent & killer_is_agent
     if mode == "LowLevel":
         if agent_mode == "fight":
-            rocket_term = G.shifted_range(
-                sim.missile_remain[killer_c].astype(jnp.float32)
-                / jnp.maximum(sim.rocket_max[killer_c], 1).astype(jnp.float32),
-                0.0, 1.0, 1.0, 1.5)
+            m_rem_k = G.sel(sim.missile_remain.astype(jnp.float32), w_killer)
+            m_max_k = G.sel(jnp.maximum(sim.rocket_max, 1).astype(jnp.float32),
+                            w_killer)
+            can_rem_k = G.sel(sim.cannon_remain, w_killer)
+            can_max_k = G.sel(sim.cannon_max, w_killer)
+            focus_k = G.sel(jnp.pad(opp_stats_focus, (0, n - na)), w_killer)
+            rocket_term = G.shifted_range(m_rem_k / m_max_k, 0.0, 1.0, 1.0, 1.5)
             cannon_term = (
-                G.shifted_range(sim.cannon_remain[killer_c]
-                                / sim.cannon_max[killer_c], 0.0, 1.0, 0.5, 1.0)
-                + G.shifted_range(
-                    jnp.take(jnp.pad(opp_stats_focus, (0, n - na)), killer_c),
-                    0.0, 1.0, 0.5, 1.0))
+                G.shifted_range(can_rem_k / can_max_k, 0.0, 1.0, 0.5, 1.0)
+                + G.shifted_range(focus_k, 0.0, 1.0, 0.5, 1.0))
             kill_val = jnp.where(events.by_rocket, rocket_term, cannon_term) * s
         else:
             kill_val = jnp.zeros(n, dtype=jnp.float32)  # no escape kill reward
     else:
         kill_val = jnp.ones(n, dtype=jnp.float32)  # flat +1 (env_base.py:285)
-    rews = rews.at[killer_c].add(
-        jnp.where(opp_killed_by_agent, kill_val, 0.0),
-        mode="drop")
+    rews = rews + jnp.sum(
+        jnp.where(credit & opp_killed_by_agent[None, :], kill_val[None, :],
+                  0.0), axis=1)
 
     # friendly kill (env_base.py:290-296); penalties only in LowLevel
     fr_kill = destroyed & is_agent & killer_is_agent
     punish_victim = jnp.zeros(na, dtype=bool)
     if mode == "LowLevel":
-        rews = rews.at[killer_c].add(jnp.where(fr_kill, -2.0 * s, 0.0),
-                                     mode="drop")
+        # f32 literal: jnp.sum strengthens weak python-float dtypes, which
+        # would leak float64 into the reward stream under jax_enable_x64
+        rews = rews + jnp.sum(
+            jnp.where(credit & fr_kill[None, :], jnp.float32(-2.0 * s), 0.0),
+            axis=1)
         if cfg.friendly_punish:
             rews = rews + jnp.where(fr_kill[:na], -2.0 * s, 0.0)
             punish_victim = fr_kill[:na]
@@ -107,8 +114,9 @@ def esc_dist_shaping(cfg, sim):
     opp_alive = (jnp.arange(n) >= na) & sim.alive
     rews = jnp.zeros(na, dtype=jnp.float32)
     for i in range(na):
-        order, valid = G.sort_enemies(geom["dist_norm"][i], opp_alive)
-        d_raw = geom["dist"][i, order]
+        # sorting by raw distance == sorting by normalized distance, and
+        # returns the sorted raw values directly (no gather)
+        _, valid, d_raw = G.sort_enemies_vals(geom["dist"][i], opp_alive)
         ranks = jnp.arange(1, n + 1, dtype=jnp.float32)
         close = valid & (d_raw < 0.06)
         far = valid & (d_raw > 0.13)
@@ -127,13 +135,20 @@ def sum_lowlevel(cfg, base_rewards, rews, destroyed_agents, alive_post):
 
     ``base_rewards`` are the action-phase penalties (always paid);
     ``rews`` only count for agents still alive or in destroyed_ids.
-    glob_frac sharing is defined for 2-vs-2 fight: teammate = i%2+1.
+    glob_frac sharing: the reference defines teammate = i%2+1 for its
+    2-vs-2 fight training; for k > 2 agents this generalizes to the sum of
+    the teammates' rewards (the rule the reference's own 3-agent
+    high-level env uses, env_hier.py:216-221).
     """
     # The reference gates the *assignment*: rews only added when the agent
     # still exists or was penalized-destroyed this step.
     gate = alive_post | destroyed_agents
     own = jnp.where(gate, rews, 0.0)
-    if cfg.glob_frac > 0.0 and cfg.agent_mode == "fight" and cfg.num_agents == 2:
-        mate = rews[::-1]  # teammate of slot 0 is 1 and vice versa
-        return base_rewards + own + jnp.where(gate, cfg.glob_frac * mate, 0.0)
+    if cfg.glob_frac > 0.0 and cfg.agent_mode == "fight":
+        if cfg.num_agents == 2:
+            mates = rews[::-1]  # teammate of slot 0 is 1 and vice versa
+        else:
+            mates = jnp.sum(rews) - rews
+        return base_rewards + own + jnp.where(gate, cfg.glob_frac * mates,
+                                              0.0)
     return base_rewards + own

@@ -115,14 +115,13 @@ def run_episode_highlevel(cfg, model, params, bank, key, greedy=True,
 
 def _commander_forward(model, params, obs, h, na):
     """Single-step shared-policy forward for all agents (batch of 1)."""
-    logits, values, h_new = [], [], []
+    logits, h_new = [], []
     for i in range(na):
         others = [j for j in range(na) if j != i]
+        obs_o = jnp.stack([obs[None, None, j] for j in others], axis=2)
         lg, v, (ha, hv) = model.apply(
-            params, obs[None, None, i], obs[None, None, others[0]],
-            obs[None, None, others[1]],
-            jnp.zeros((1, 1, 1)), jnp.zeros((1, 1, 1)), jnp.zeros((1, 1, 1)),
-            h[None, i, 0], h[None, i, 1])
+            params, obs[None, None, i], obs_o, jnp.zeros((1, 1, 1)),
+            jnp.zeros((1, 1, na - 1, 1)), h[None, i, 0], h[None, i, 1])
         logits.append(lg[0, 0])
         h_new.append(jnp.stack([ha[0], hv[0]]))
     return jnp.stack(logits), None, jnp.stack(h_new)

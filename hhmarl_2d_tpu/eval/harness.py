@@ -21,9 +21,16 @@ from hhmarl_2d_tpu.env import highlevel
 from hhmarl_2d_tpu.models.commander import GRU_SIZE
 from hhmarl_2d_tpu.eval.episodes import _commander_forward
 
-STAT_KEYS = ("agents_win", "opps_win", "draw", "agent_fight", "agent_escape",
-             "opp_fight", "opp_escape", "agent_steps", "opp_steps",
-             "opp1", "opp2", "opp3")
+BASE_STAT_KEYS = ("agents_win", "opps_win", "draw", "agent_fight",
+                  "agent_escape", "opp_fight", "opp_escape", "agent_steps",
+                  "opp_steps")
+
+
+def stat_keys(cfg):
+    """Counter names incl. one opp{k} selection counter per commander
+    target (the reference hardcodes opp1-3, evaluation.py:58)."""
+    return BASE_STAT_KEYS + tuple(
+        f"opp{k}" for k in range(1, max(3, cfg.n_opp_hl) + 1))
 
 # Upper bound on commander macro-steps per episode: every macro action runs
 # at least HL_MIN_SUB_STEPS+2 ticks unless it ends in a kill/OOB event, and
@@ -33,14 +40,18 @@ MAX_MACRO = 64
 
 def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
                        eval_hl: bool = True,
-                       fixed_action: int = 1):
+                       fixed_action: int = 1,
+                       chunk_size: int = 256):
     """Run ``n_episodes`` commander episodes in lockstep.
 
     eval_hl=False bypasses the commander and always assigns the closest
-    opponent (evaluation.py:50-52).
+    opponent (evaluation.py:50-52).  Episodes run in vmapped chunks of
+    ``chunk_size`` so arbitrarily large sweeps fit in bounded device
+    memory (the jitted chunk program is compiled once and reused).
     Returns the accumulated eval_stats dict (plus total_n_actions).
     """
     na = cfg.num_agents
+    keys_stat = stat_keys(cfg)
 
     def one_episode(k):
         st, obs = highlevel.reset(cfg, k)
@@ -62,11 +73,11 @@ def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
             obs = jnp.where(keep, obs2, obs)
             h = jnp.where(keep, h_new, h)
             stats = {kname: stats[kname] + jnp.where(keep, info[kname], 0)
-                     for kname in STAT_KEYS}
+                     for kname in keys_stat}
             n_actions = n_actions + keep.astype(jnp.int32)
             return (st, obs, h, done_seen | done, stats, n_actions), None
 
-        stats0 = {kname: jnp.asarray(0, jnp.int32) for kname in STAT_KEYS}
+        stats0 = {kname: jnp.asarray(0, jnp.int32) for kname in keys_stat}
         keys = jax.random.split(jax.random.fold_in(k, 1), MAX_MACRO)
         (st, obs, h, done, stats, n_actions), _ = jax.lax.scan(
             step_fn, (st, obs, h, jnp.asarray(False), stats0,
@@ -75,9 +86,38 @@ def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
         stats["finished"] = done.astype(jnp.int32)
         return stats
 
-    keys = jax.random.split(key, n_episodes)
-    stats = jax.jit(jax.vmap(one_episode))(keys)
-    return {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+    chunk = max(1, min(chunk_size, n_episodes))
+    n_chunks = -(-n_episodes // chunk)            # ceil; tail keys ignored
+    keys = jax.random.split(key, n_chunks * chunk)
+    keys = keys.reshape((n_chunks, chunk) + keys.shape[1:])
+    run = jax.jit(jax.vmap(one_episode))
+    totals = None
+    used = 0
+    for c in range(n_chunks):
+        take = min(chunk, n_episodes - used)
+        stats = jax.device_get(run(keys[c]))
+        part = {k: int(np.asarray(v)[:take].sum()) for k, v in stats.items()}
+        totals = part if totals is None else {
+            k: totals[k] + part[k] for k in part}
+        used += take
+    return totals
+
+
+def sweep_fight_ratio(cfg, model, params, bank, n_episodes: int, key,
+                      ratios=(0, 25, 50, 75, 100), eval_hl: bool = True,
+                      chunk_size: int = 256):
+    """hier_opp_fight_ratio sweep: one full evaluation per opponent-mix
+    ratio (the knob of config.py:23 / README.md:44).  Returns
+    {ratio: postprocessed metrics}."""
+    import dataclasses
+    table = {}
+    for r in ratios:
+        cfg_r = dataclasses.replace(cfg, hier_opp_fight_ratio=int(r))
+        stats = evaluate_highlevel(cfg_r, model, params, bank, n_episodes,
+                                   jax.random.fold_in(key, int(r)),
+                                   eval_hl=eval_hl, chunk_size=chunk_size)
+        table[int(r)] = postprocess_eval(stats, n_episodes)
+    return table
 
 
 def postprocess_eval(ev: dict, n_evals: int,
@@ -94,10 +134,10 @@ def postprocess_eval(ev: dict, n_evals: int,
         "esc": pct(ev["agent_escape"], ev["agent_steps"]),
         "fight_opp": pct(ev["opp_fight"], ev["opp_steps"]),
         "esc_opp": pct(ev["opp_escape"], ev["opp_steps"]),
-        "opp1": pct(ev["opp1"], ev["agent_fight"]),
-        "opp2": pct(ev["opp2"], ev["agent_fight"]),
-        "opp3": pct(ev["opp3"], ev["agent_fight"]),
     }
+    for k in sorted(int(x[3:]) for x in ev if x.startswith("opp")
+                    and x[3:].isdigit()):
+        evals[f"opp{k}"] = pct(ev[f"opp{k}"], ev["agent_fight"])
     if eval_file:
         with open(eval_file, "w") as f:
             json.dump(evals, f, indent=3)

@@ -47,14 +47,25 @@ class _GRUOverTime(nn.Module):
 
 
 class CommanderGru(nn.Module):
+    """One shared commander policy for an ``num_agents``-ship team.
+
+    ``obs_others``/``act_others`` carry the teammates' observations and
+    normalized actions stacked on axis -2 ([B, T, num_agents-1, d]); the
+    reference's fixed 3-agent critic (branch names v1/v2/v3 + full branch
+    v4, ac_models_hier.py:99-105) generalizes to one 100-unit branch per
+    teammate plus the joint full branch.
+    """
+
     n_opp: int = C.N_OPP_HL
+    num_agents: int = 3
 
     @nn.compact
-    def __call__(self, obs_own, obs_2, obs_3, act_own, act_2, act_3,
+    def __call__(self, obs_own, obs_others, act_own, act_others,
                  h_act, h_val, reset=None):
         """Returns (logits [B,T,n_opp+1], value [B,T], (h_act', h_val'))."""
         obs_dim = 14 + 10 * self.n_opp
         assert obs_own.shape[-1] == obs_dim
+        assert obs_others.shape[-2] == self.num_agents - 1
 
         shared = SlimFC(500, name="shared")
 
@@ -71,14 +82,18 @@ class CommanderGru(nn.Module):
         logits = SlimFC(self.n_opp + 1, activate=False, name="act_out")(x)
 
         # centralized critic (ac_models_hier.py:99-105)
-        v1 = jnp.concatenate([obs_own, act_own], axis=-1)
-        v2 = jnp.concatenate([obs_2, act_2], axis=-1)
-        v3 = jnp.concatenate([obs_3, act_3], axis=-1)
-        z = jnp.concatenate([SlimFC(100, name="v1")(v1),
-                             SlimFC(100, name="v2")(v2),
-                             SlimFC(100, name="v3")(v3)], axis=-1)
-        z_full = SlimFC(200, name="v4")(
-            jnp.concatenate([v1, v2, v3], axis=-1))
+        pairs = [jnp.concatenate([obs_own, act_own], axis=-1)]
+        for j in range(self.num_agents - 1):
+            pairs.append(jnp.concatenate(
+                [obs_others[..., j, :], act_others[..., j, :]], axis=-1))
+        z = jnp.concatenate(
+            [SlimFC(100, name=f"v{j + 1}")(p) for j, p in enumerate(pairs)],
+            axis=-1)
+        if self.num_agents != 3:
+            # the 500->500 shared tower expects the reference's 300-wide
+            # branch bundle (3 x 100); adapt other team sizes to it
+            z = SlimFC(300, name="v_adapt")(z)
+        z_full = SlimFC(200, name="v_full")(jnp.concatenate(pairs, axis=-1))
         w, h_val_new = _GRUOverTime(name="rnn_val")(z_full, h_val, reset)
         z_full = l2_normalize(z_full + w)
         z = shared(jnp.concatenate([z, z_full], axis=-1))

@@ -225,8 +225,11 @@ def tick(state: SimState, key: jax.Array, num_agents: int,
         _rate_limited_heading(state.m_heading, m_tgt_heading,
                               C.ROCKET_TURN_RATE_DEG_S),
         state.m_heading)
-    # speed profile at integer life time (rocket_unit.py:70)
-    m_speed = jnp.take(_ROCKET_SPEED, jnp.clip(life, 0, C.ROCKET_EOL_SECS))
+    # speed profile at integer life time (rocket_unit.py:70); one-hot
+    # select over the 11-entry table instead of a gather so it fuses
+    life_i = jnp.clip(life, 0, C.ROCKET_EOL_SECS)
+    w_life = life_i[:, None] == np.arange(C.ROCKET_EOL_SECS + 1)
+    m_speed = jnp.sum(jnp.where(w_life, _ROCKET_SPEED, 0.0), axis=-1)
     m_lat, m_lon = _move(state.m_lat, state.m_lon, m_heading, m_speed, flying)
 
     new_state = state.replace(
@@ -272,8 +275,10 @@ def fire_missiles(state: SimState, want: jnp.ndarray,
     ``int(|signed_diff(heading+60, bearing)|) <= 60``.
     """
     tgt = jnp.clip(target, 0, state.n_slots - 1)
-    dist, bearing = _inv(state.lat, state.lon,
-                         state.lat[tgt], state.lon[tgt])
+    w_tgt = tgt[:, None] == jnp.arange(state.n_slots)[None, :]
+    lat_t = jnp.sum(jnp.where(w_tgt, state.lat[None, :], 0.0), axis=-1)
+    lon_t = jnp.sum(jnp.where(w_tgt, state.lon[None, :], 0.0), axis=-1)
+    dist, bearing = _inv(state.lat, state.lon, lat_t, lon_t)
     delta = jnp.abs(geo.signed_heading_diff(
         geo.sum_angles(state.heading, C.MISSILE_WIDTH_DEG / 2.0), bearing))
     ok = want & (dist <= C.MISSILE_RANGE_KM) & \

@@ -46,12 +46,30 @@ class TestHarness:
         model = CommanderGru()
         d = 34
         z = jnp.zeros((1, 1, d))
+        zo = jnp.zeros((1, 1, 2, d))
         za = jnp.zeros((1, 1, 1))
+        zao = jnp.zeros((1, 1, 2, 1))
         h = jnp.zeros((1, 200))
-        params = model.init(KEY, z, z, z, za, za, za, h, h)
+        params = model.init(KEY, z, zo, za, zao, h, h)
         stats = harness.evaluate_highlevel(
             cfg, model, params, bank, 4, KEY, eval_hl=True)
         assert stats["finished"] == 4
+
+    def test_chunked_eval_bounded_memory(self, hl_setup):
+        """chunk_size < n_episodes: same totals invariants, one compile."""
+        cfg, bank = hl_setup
+        stats = harness.evaluate_highlevel(
+            cfg, None, None, bank, 5, KEY, eval_hl=False, chunk_size=2)
+        assert stats["finished"] == 5
+        assert stats["agents_win"] + stats["opps_win"] + stats["draw"] == 5
+
+    def test_fight_ratio_sweep(self, hl_setup):
+        cfg, bank = hl_setup
+        table = harness.sweep_fight_ratio(
+            cfg, None, None, bank, 2, KEY, ratios=(0, 100), eval_hl=False)
+        assert set(table) == {0, 100}
+        for ev in table.values():
+            assert 0.0 <= ev["win"] <= 100.0
 
     def test_postprocess_schema(self, tmp_path):
         ev = {"agents_win": 5, "opps_win": 3, "draw": 2, "agent_fight": 70,

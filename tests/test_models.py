@@ -81,46 +81,60 @@ class TestFightModels:
                    for x in jax.tree_util.tree_leaves(g))
 
 
+def _cmdr_io(B, T, d, na=3):
+    obs = jnp.zeros((B, T, d))
+    obs_o = jnp.zeros((B, T, na - 1, d))
+    za = jnp.zeros((B, T, 1))
+    zao = jnp.zeros((B, T, na - 1, 1))
+    return obs, obs_o, za, zao
+
+
 class TestCommander:
     def test_shapes_and_state(self):
         m = CommanderGru()
-        d = C.OBS_HL
-        obs = jnp.zeros((2, 5, d))
-        za = jnp.zeros((2, 5, 1))
+        obs, obs_o, za, zao = _cmdr_io(2, 5, C.OBS_HL)
         h = jnp.zeros((2, GRU_SIZE))
-        params = m.init(KEY, obs, obs, obs, za, za, za, h, h)
-        logits, value, (ha, hv) = m.apply(params, obs, obs, obs, za, za, za,
-                                          h, h)
+        params = m.init(KEY, obs, obs_o, za, zao, h, h)
+        logits, value, (ha, hv) = m.apply(params, obs, obs_o, za, zao, h, h)
         assert logits.shape == (2, 5, C.ACT_DIM_HL)
         assert value.shape == (2, 5)
         assert ha.shape == (2, GRU_SIZE) and hv.shape == (2, GRU_SIZE)
 
+    def test_configurable_team_and_targets(self):
+        """n_opp_hl=3 widens obs/action; 5-agent critic gets 5 branches."""
+        m = CommanderGru(n_opp=3, num_agents=5)
+        d = 14 + 10 * 3
+        obs, obs_o, za, zao = _cmdr_io(2, 4, d, na=5)
+        h = jnp.zeros((2, GRU_SIZE))
+        params = m.init(KEY, obs, obs_o, za, zao, h, h)
+        logits, value, _ = m.apply(params, obs, obs_o, za, zao, h, h)
+        assert logits.shape == (2, 4, 4)
+        assert value.shape == (2, 4)
+        assert "v5" in params["params"]
+
     def test_state_carries_information(self):
         """Same input with different hidden states -> different logits."""
         m = CommanderGru()
-        d = C.OBS_HL
-        obs = jax.random.uniform(KEY, (1, 1, d))
-        za = jnp.zeros((1, 1, 1))
+        obs, obs_o, za, zao = _cmdr_io(1, 1, C.OBS_HL)
+        obs = jax.random.uniform(KEY, obs.shape)
         h0 = jnp.zeros((1, GRU_SIZE))
-        params = m.init(KEY, obs, obs, obs, za, za, za, h0, h0)
-        lg1, _, _ = m.apply(params, obs, obs, obs, za, za, za, h0, h0)
+        params = m.init(KEY, obs, obs_o, za, zao, h0, h0)
+        lg1, _, _ = m.apply(params, obs, obs_o, za, zao, h0, h0)
         h1 = jnp.ones((1, GRU_SIZE)) * 0.5
-        lg2, _, _ = m.apply(params, obs, obs, obs, za, za, za, h1, h0)
+        lg2, _, _ = m.apply(params, obs, obs_o, za, zao, h1, h0)
         assert not np.allclose(np.asarray(lg1), np.asarray(lg2))
 
     def test_reset_mask_restarts_sequence(self):
         """With reset at t, output at t matches a fresh-state evaluation."""
         m = CommanderGru()
-        d = C.OBS_HL
-        obs = jax.random.uniform(KEY, (1, 4, d))
-        za = jnp.zeros((1, 4, 1))
+        obs, obs_o, za, zao = _cmdr_io(1, 4, C.OBS_HL)
+        obs = jax.random.uniform(KEY, obs.shape)
         h0 = jax.random.normal(jax.random.PRNGKey(3), (1, GRU_SIZE))
-        params = m.init(KEY, obs, obs, obs, za, za, za, h0, h0)
+        params = m.init(KEY, obs, obs_o, za, zao, h0, h0)
         reset = jnp.asarray([[True, False, False, False]])
-        lg_reset, _, _ = m.apply(params, obs, obs, obs, za, za, za, h0, h0,
-                                 reset)
+        lg_reset, _, _ = m.apply(params, obs, obs_o, za, zao, h0, h0, reset)
         z = jnp.zeros((1, GRU_SIZE))
-        lg_fresh, _, _ = m.apply(params, obs, obs, obs, za, za, za, z, z)
+        lg_fresh, _, _ = m.apply(params, obs, obs_o, za, zao, z, z)
         np.testing.assert_allclose(np.asarray(lg_reset), np.asarray(lg_fresh),
                                    atol=1e-6)
 
