@@ -82,6 +82,18 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of steps 10-12 into "
                         "the log dir")
     p.add_argument("--num_envs", type=int, default=512 if mode == 0 else 128)
+    # PPO knobs the reference sets via PPOConfig().training()
+    # (train_hetero.py:216-236, train_hier.py:182-189)
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--gae_lambda", type=float,
+                   default=0.95 if mode == 0 else 1.0)
+    p.add_argument("--clip", type=float, default=0.25)
+    p.add_argument("--kl_target", type=float,
+                   default=0.025 if mode == 0 else 0.05)
+    p.add_argument("--kl_coeff", type=float, default=0.2)
+    p.add_argument("--vf_clip", type=float, default=10.0)
+    p.add_argument("--vf_coeff", type=float, default=1.0)
+    p.add_argument("--entropy_coeff", type=float, default=0.0)
     p.add_argument("--rollout_len", type=int, default=128 if mode == 0 else 64)
     p.add_argument("--seq_len", type=int, default=16 if mode == 0 else 8)
     p.add_argument("--sgd_iters", type=int, default=4)
@@ -142,6 +154,17 @@ def finalize(args, mode: int):
         args.eval_level_ag = args.eval_level_opp = 5
 
     return args
+
+
+def ppo_kwargs(args) -> dict:
+    """PPOConfig/HierPPOConfig fields shared by both trainers."""
+    return dict(num_envs=args.num_envs, rollout_len=args.rollout_len,
+                seq_len=args.seq_len, sgd_iters=args.sgd_iters,
+                num_minibatches=args.num_minibatches, lr=args.lr,
+                gamma=args.gamma, lam=args.gae_lambda, clip=args.clip,
+                kl_target=args.kl_target, kl_coeff_init=args.kl_coeff,
+                vf_clip=args.vf_clip, vf_coeff=args.vf_coeff,
+                entropy_coeff=args.entropy_coeff)
 
 
 def to_env_config(args, mode: int) -> ECfg.EnvConfig:

@@ -56,9 +56,7 @@ def main(argv=None):
         M.setup_distributed()
     cfg = ARGS.to_env_config(args, 1)
     bank = build_hl_bank(args)
-    ppo = HierPPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
-                        seq_len=args.seq_len, sgd_iters=args.sgd_iters,
-                        num_minibatches=args.num_minibatches, lr=args.lr)
+    ppo = HierPPOConfig(**ARGS.ppo_kwargs(args))
     trainer = CommanderPPO(cfg, ppo, bank)
     ts, env_state, obs, h = trainer.init(jax.random.PRNGKey(args.seed))
 

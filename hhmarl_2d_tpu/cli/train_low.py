@@ -69,9 +69,7 @@ def main(argv=None):
     if args.distributed:
         M.setup_distributed()
     cfg = ARGS.to_env_config(args, 0)
-    ppo = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
-                    seq_len=args.seq_len, sgd_iters=args.sgd_iters,
-                    num_minibatches=args.num_minibatches, lr=args.lr)
+    ppo = PPOConfig(**ARGS.ppo_kwargs(args))
 
     # rollout data-parallelism (SURVEY.md section 2 #20-21): env batch
     # sharded over the data mesh, learner replicated, gradient psum by XLA
