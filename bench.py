@@ -109,31 +109,44 @@ def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None):
 
 
 def bench_scaling():
-    """Weak-scaling on the 8-virtual-device CPU mesh: 8x envs on 8 devices
-    vs 1x envs on 1 device (run in a fresh CPU-pinned interpreter)."""
+    """Sharding-overhead check on the 8-virtual-device CPU mesh.
+
+    Virtual devices timeshare the same physical cores, so a weak-scaling
+    curve cannot look linear here by construction; what CAN be measured
+    without a pod is the cost the data-mesh partitioning itself adds:
+    run the SAME total batch (512 envs) unsharded on 1 device and sharded
+    over 8, in fresh CPU-pinned interpreters.  Total compute is constant,
+    so efficiency = t1/t8 -> 1.0 means the sharded program (with its
+    gradient psum and resharding) costs the same as the unsharded one --
+    the ICI-collective analog of linear host scaling (BASELINE.md)."""
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
                XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
                           + " --xla_force_host_platform_device_count=8"))
-    code = (
-        "import sys; sys.path.insert(0, %r); import bench, json\n"
-        "r1 = bench.bench_train(num_envs=64, n_iters=2, num_devices=1)\n"
-        "r8 = bench.bench_train(num_envs=512, n_iters=2, num_devices=8)\n"
-        "print(json.dumps({'iters_per_s_1dev': r1, 'iters_per_s_8dev': r8}))"
-        % os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=1500)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
-    # weak scaling: per-device work constant, so efficiency = t1/t8
-    eff = r["iters_per_s_8dev"] / r["iters_per_s_1dev"]
+    results = {}
+    for n_dev in (1, 8):
+        code = (
+            "import sys; sys.path.insert(0, %r); import bench, json\n"
+            "from hhmarl_2d_tpu.utils.platform import ensure_platform\n"
+            "ensure_platform()  # the site hook pins the TPU tunnel otherwise\n"
+            "r = bench.bench_train(num_envs=512, n_iters=2, num_devices=%d)\n"
+            "print(json.dumps({'iters_per_s': r}))"
+            % (os.path.dirname(os.path.abspath(__file__)), n_dev))
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=1500)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scaling subprocess ({n_dev} dev) failed:\n"
+                               f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        results[n_dev] = json.loads(lines[-1])["iters_per_s"]
+    eff = results[8] / results[1]
     return {
-        "metric": "weak_scaling_efficiency_8dev_cpu",
+        "metric": "sharding_overhead_8dev_cpu",
         "value": round(eff, 3),
-        "unit": "x (1.0 = linear)",
+        "unit": "x (1.0 = sharded == unsharded at equal total work)",
         "vs_baseline": round(eff, 3),
-        "iters_per_s_1dev_64env": round(r["iters_per_s_1dev"], 3),
-        "iters_per_s_8dev_512env": round(r["iters_per_s_8dev"], 3),
+        "iters_per_s_1dev_512env": round(results[1], 3),
+        "iters_per_s_8dev_512env": round(results[8], 3),
     }
 
 
