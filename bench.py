@@ -68,15 +68,17 @@ def bench_rollout():
         return env_state, obs, jnp.sum(rews)
 
     run = jax.jit(rollout, donate_argnums=(1, 2))
-    env_state, obs, _ = run(params, env_state, obs, jax.random.PRNGKey(1))
-    jax.block_until_ready(obs)
+    env_state, obs, s = run(params, env_state, obs, jax.random.PRNGKey(1))
+    float(s)  # full sync: the scalar transitively depends on every step
 
     t0 = time.time()
-    n_iters = 4
+    n_iters = 8
     for i in range(n_iters):
         env_state, obs, s = run(params, env_state, obs,
                                 jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(obs)
+    # fetch the value (block_until_ready alone has been observed to return
+    # early on the experimental axon platform; a host transfer cannot)
+    float(s)
     dt = time.time() - t0
     return NUM_ENVS * ROLLOUT * n_iters / dt
 
@@ -91,9 +93,9 @@ def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None):
     cfg = ECfg.make_lowlevel_config(level=1)
     ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT,
                     seq_len=16, sgd_iters=SGD_ITERS, num_minibatches=NUM_MB)
-    tr = LowLevelPPO(cfg, ppo)
-    ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
     mesh = M.make_mesh(num_devices)
+    tr = LowLevelPPO(cfg, ppo, mesh=mesh)
+    ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
     with mesh:
         ts, env_state, obs = M.place_train_inputs(mesh, ts, env_state, obs)
         ts, env_state, obs, m = tr.train_iter(ts, env_state, obs,

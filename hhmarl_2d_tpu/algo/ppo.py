@@ -33,6 +33,7 @@ from flax import struct
 
 from hhmarl_2d_tpu.algo import distributions as D
 from hhmarl_2d_tpu.algo.gae import compute_gae
+from hhmarl_2d_tpu.algo.sgd import run_sgd
 from hhmarl_2d_tpu.env import lowlevel
 from hhmarl_2d_tpu.models import policy as P
 
@@ -79,14 +80,23 @@ class Batch:
 
 
 class LowLevelPPO:
-    """Trainer for one curriculum level of the low-level stage."""
+    """Trainer for one curriculum level of the low-level stage.
+
+    ``mesh``: optional data mesh; the SGD phase then runs under shard_map
+    with device-local minibatching and per-minibatch gradient pmean (see
+    algo/sgd.py). The env batch (num_envs, and hence the derived sequence
+    axis) must be divisible by the mesh size.
+    """
 
     def __init__(self, cfg_env, ppo: PPOConfig,
-                 team: Optional[P.LowLevelTeam] = None, opp_actor=None):
+                 team: Optional[P.LowLevelTeam] = None, opp_actor=None,
+                 mesh=None):
         self.cfg = cfg_env
         self.ppo = ppo
         self.team = team or P.LowLevelTeam(cfg_env.agent_mode)
         self.opp_actor = opp_actor
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
+            else None
         self.tx = optax.adam(ppo.lr)
         assert ppo.rollout_len % ppo.seq_len == 0
 
@@ -196,38 +206,14 @@ class LowLevelPPO:
         k_roll, k_shuf = jax.random.split(key)
         env_state, obs_last, traj = self._rollout(ts, env_state, obs, k_roll)
         batch = self._make_batch(ts, traj, obs_last)
-        n_seqs = batch.obs.shape[0]
-        # clamp so tiny smoke configs never produce empty minibatches
-        # (mb = 0 would make every metric a mean over an empty slice = NaN)
-        n_mb = min(self.ppo.num_minibatches, n_seqs)
-        mb = n_seqs // n_mb
-
-        def sgd_pass(carry, k):
-            perm = jax.random.permutation(k, n_seqs)
-
-            def mb_step(carry, idx):
-                params, opt_state, msum = carry
-                mb_batch = jax.tree_util.tree_map(lambda x: x[idx], batch)
-                (_, metrics), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, mb_batch, ts.kl_coeff)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                msum = {k2: msum[k2] + metrics[k2] for k2 in msum}
-                return (params, opt_state, msum), None
-
-            idxs = perm[:mb * n_mb].reshape(n_mb, mb)
-            carry, _ = jax.lax.scan(mb_step, carry, idxs)
-            return carry, None
-
-        zero_metrics = {k: jnp.asarray(0.0) for k in self._metric_keys()}
-        (params, opt_state, msum), _ = jax.lax.scan(
-            sgd_pass, (ts.params, ts.opt_state, zero_metrics),
-            jax.random.split(k_shuf, self.ppo.sgd_iters))
         # epoch means over every minibatch of every pass: RLlib's update_kl
         # feeds on the mean KL of the whole train batch, not the last
         # minibatch (rllib PPO kl stat -> update_kl)
-        metrics = {k2: v / (self.ppo.sgd_iters * n_mb)
-                   for k2, v in msum.items()}
+        params, opt_state, metrics = run_sgd(
+            self._loss, self.tx, ts.params, ts.opt_state, ts.kl_coeff,
+            batch, k_shuf, sgd_iters=self.ppo.sgd_iters,
+            num_minibatches=self.ppo.num_minibatches,
+            metric_keys=self._metric_keys(), mesh=self.mesh)
 
         # adaptive KL coefficient (rllib update_kl)
         kls = jnp.stack([metrics["kl_1"], metrics["kl_2"]])

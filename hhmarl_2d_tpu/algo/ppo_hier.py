@@ -25,6 +25,7 @@ from flax import struct
 from hhmarl_2d_tpu import constants as C
 from hhmarl_2d_tpu.algo import distributions as D
 from hhmarl_2d_tpu.algo.gae import compute_gae
+from hhmarl_2d_tpu.algo.sgd import run_sgd
 from hhmarl_2d_tpu.env import highlevel
 from hhmarl_2d_tpu.models.commander import CommanderGru, GRU_SIZE
 
@@ -62,10 +63,15 @@ def _others(i, na):
 
 
 class CommanderPPO:
-    def __init__(self, cfg_env, ppo: HierPPOConfig, bank):
+    """``mesh``: optional data mesh — the SGD phase then runs under
+    shard_map with device-local minibatching + gradient pmean (algo/sgd.py)."""
+
+    def __init__(self, cfg_env, ppo: HierPPOConfig, bank, mesh=None):
         self.cfg = cfg_env
         self.ppo = ppo
         self.bank = bank
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
+            else None
         self.na = cfg_env.num_agents
         self.model = CommanderGru(n_opp=cfg_env.n_opp_hl,
                                   num_agents=self.na)
@@ -208,38 +214,14 @@ class CommanderPPO:
         env_state, obs_last, h_last, traj = self._rollout(
             ts, env_state, obs, h, k_roll)
         batch = self._make_batch(ts, traj, obs_last, h_last)
-        n_seqs = batch["obs"].shape[0]
-        # clamp so tiny smoke configs never produce empty minibatches
-        # (mb = 0 would make every metric a mean over an empty slice = NaN)
-        n_mb = min(self.ppo.num_minibatches, n_seqs)
-        mb = n_seqs // n_mb
-
-        def sgd_pass(carry, k):
-            perm = jax.random.permutation(k, n_seqs)
-
-            def mb_step(carry, idx):
-                params, opt_state, msum = carry
-                mb_batch = jax.tree_util.tree_map(lambda x: x[idx], batch)
-                (_, metrics), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, mb_batch, ts.kl_coeff)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                msum = {k2: msum[k2] + metrics[k2] for k2 in msum}
-                return (params, opt_state, msum), None
-
-            idxs = perm[:mb * n_mb].reshape(n_mb, mb)
-            carry, _ = jax.lax.scan(mb_step, carry, idxs)
-            return carry, None
-
-        zero_metrics = {k: jnp.asarray(0.0)
-                        for k in ("kl", "pol_loss", "vf_loss", "entropy")}
-        (params, opt_state, msum), _ = jax.lax.scan(
-            sgd_pass, (ts.params, ts.opt_state, zero_metrics),
-            jax.random.split(k_shuf, self.ppo.sgd_iters))
         # epoch means over every minibatch of every pass (rllib update_kl
         # uses the whole-train-batch mean KL, not the last minibatch)
-        metrics = {k2: v / (self.ppo.sgd_iters * n_mb)
-                   for k2, v in msum.items()}
+        params, opt_state, metrics = run_sgd(
+            self._loss, self.tx, ts.params, ts.opt_state, ts.kl_coeff,
+            batch, k_shuf, sgd_iters=self.ppo.sgd_iters,
+            num_minibatches=self.ppo.num_minibatches,
+            metric_keys=("kl", "pol_loss", "vf_loss", "entropy"),
+            mesh=self.mesh)
 
         kl_coeff = jnp.where(
             metrics["kl"] > 2.0 * self.ppo.kl_target, ts.kl_coeff * 1.5,

@@ -57,14 +57,13 @@ def main(argv=None):
     cfg = ARGS.to_env_config(args, 1)
     bank = build_hl_bank(args)
     ppo = HierPPOConfig(**ARGS.ppo_kwargs(args))
-    trainer = CommanderPPO(cfg, ppo, bank)
-    ts, env_state, obs, h = trainer.init(jax.random.PRNGKey(args.seed))
-
     mesh = M.make_mesh(args.num_devices or None)
     n_dev = mesh.devices.size
     if ppo.num_envs % n_dev:
         raise SystemExit(f"--num_envs {ppo.num_envs} must be divisible by "
                          f"the {n_dev}-device mesh")
+    trainer = CommanderPPO(cfg, ppo, bank, mesh=mesh)
+    ts, env_state, obs, h = trainer.init(jax.random.PRNGKey(args.seed))
 
     ckpt_dir = os.path.join(args.log_path, "checkpoint")
     if args.restore:

@@ -84,7 +84,7 @@ def main(argv=None):
     team_esc = team if args.agent_mode == "escape" else P.LowLevelTeam("escape")
     opp_actor = build_opp_actor(args, team_fight, team_esc)
 
-    trainer = LowLevelPPO(cfg, ppo, team=team, opp_actor=opp_actor)
+    trainer = LowLevelPPO(cfg, ppo, team=team, opp_actor=opp_actor, mesh=mesh)
     ts, env_state, obs = trainer.init(jax.random.PRNGKey(args.seed))
 
     ckpt_dir = os.path.join(args.log_path, "checkpoint")

@@ -83,26 +83,56 @@ class TestSharding:
         out = jax.jit(fn)(*args)
         assert out[0].shape == (8, 16, 2, 26)
 
-    def test_mesh_metrics_match_single_device(self, tiny_trainer):
-        """Sharding the env batch over the 8-device mesh must not change
-        the training math: metrics agree with the 1-device run."""
+    def test_mesh_metrics_match_single_device(self):
+        """The sharded SGD phase (device-local shards + gradient pmean,
+        algo/sgd.py) computes the same training math as the unsharded run
+        when the minibatch is the full batch (local permutations are then
+        irrelevant, so the update is analytically identical)."""
         from hhmarl_2d_tpu.parallel import mesh as M
-        tr, ts, env_state, obs = tiny_trainer
+        cfg = ECfg.make_lowlevel_config(level=1)
+        ppo = PPOConfig(num_envs=8, rollout_len=16, seq_len=8, sgd_iters=2,
+                        num_minibatches=1)
         key = jax.random.PRNGKey(11)
         outs = {}
         for n_dev in (1, 8):
             mesh = M.make_mesh(n_dev)
+            tr = LowLevelPPO(cfg, ppo, mesh=mesh)
+            ts, env_state, obs = tr.init(KEY)
             with mesh:
                 ts_p, es_p, obs_p = M.place_train_inputs(
                     mesh, ts, env_state, obs)
                 ts2, _, _, m = tr.train_iter(ts_p, es_p, obs_p, key)
                 outs[n_dev] = (jax.device_get(m),
-                               jax.device_get(ts2.kl_coeff))
+                               jax.device_get(ts2.kl_coeff),
+                               jax.device_get(
+                                   jax.tree_util.tree_leaves(ts2.params)[0]))
         m1, m8 = outs[1][0], outs[8][0]
         for k in m1:
             np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m8[k]),
-                                       rtol=1e-5, atol=1e-7, err_msg=k)
+                                       rtol=2e-4, atol=1e-6, err_msg=k)
         np.testing.assert_allclose(outs[1][1], outs[8][1])
+        np.testing.assert_allclose(outs[1][2], outs[8][2],
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_mesh_minibatched_sgd_runs_and_learns_shape(self):
+        """Device-local minibatching on the mesh: finite metrics, params
+        move, kl_coeff stays positive."""
+        from hhmarl_2d_tpu.parallel import mesh as M
+        cfg = ECfg.make_lowlevel_config(level=1)
+        ppo = PPOConfig(num_envs=8, rollout_len=16, seq_len=4, sgd_iters=2,
+                        num_minibatches=2)
+        mesh = M.make_mesh(8)
+        tr = LowLevelPPO(cfg, ppo, mesh=mesh)
+        ts, env_state, obs = tr.init(KEY)
+        with mesh:
+            ts_p, es_p, obs_p = M.place_train_inputs(mesh, ts, env_state, obs)
+            ts2, _, _, m = tr.train_iter(ts_p, es_p, obs_p,
+                                         jax.random.PRNGKey(3))
+        m = jax.device_get(m)
+        assert all(np.isfinite(v) for v in m.values())
+        p0 = jax.tree_util.tree_leaves(ts.params)[0]
+        p1 = jax.device_get(jax.tree_util.tree_leaves(ts2.params)[0])
+        assert not np.allclose(np.asarray(p0), p1)
 
     def test_train_low_cli_on_mesh(self, tmp_path):
         """The real driver reaches the mesh path: --num_devices 8."""
