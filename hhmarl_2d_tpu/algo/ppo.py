@@ -57,7 +57,7 @@ class PPOConfig:
     vf_coeff: float = 1.0
     entropy_coeff: float = 0.0
     sgd_iters: int = 8           # passes over the batch per iteration
-    num_minibatches: int = 8     # minibatches per pass
+    num_minibatches: int = 32    # minibatches per pass (see cli/args.py)
 
 
 @struct.dataclass

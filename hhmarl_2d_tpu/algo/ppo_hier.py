@@ -44,9 +44,9 @@ class HierPPOConfig:
     kl_coeff_init: float = 0.2
     vf_clip: float = 10.0
     vf_coeff: float = 1.0
-    entropy_coeff: float = 0.0
+    entropy_coeff: float = 0.01  # resists the fight-closest collapse
     sgd_iters: int = 8
-    num_minibatches: int = 8
+    num_minibatches: int = 32    # see cli/args.py on update intensity
 
 
 @struct.dataclass

@@ -43,6 +43,12 @@ def run_sgd(loss_fn: Callable, tx, params, opt_state, kl_coeff,
     its local shard with per-minibatch gradient pmean.
     """
     n_dev = mesh.devices.size if mesh is not None else 1
+    if n_dev > 1:
+        lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if lead % n_dev:
+            raise ValueError(
+                f"batch leading (sequence) axis {lead} must be divisible by "
+                f"the {n_dev}-device mesh for sharded SGD")
 
     def local_sgd(params, opt_state, kl_coeff, batch, key):
         if n_dev > 1:
@@ -76,8 +82,13 @@ def run_sgd(loss_fn: Callable, tx, params, opt_state, kl_coeff,
         if n_dev > 1:
             # metric sums are device-varying until the final pmean; the
             # initial zeros must carry the same varying-axis type
-            zero = jax.tree_util.tree_map(
-                lambda x: jax.lax.pvary(x, axis), zero)
+            # (pvary is deprecated in JAX 0.9 in favour of pcast)
+            if hasattr(jax.lax, "pcast"):
+                zero = jax.tree_util.tree_map(
+                    lambda x: jax.lax.pcast(x, axis, to="varying"), zero)
+            else:  # pragma: no cover - older JAX
+                zero = jax.tree_util.tree_map(
+                    lambda x: jax.lax.pvary(x, axis), zero)
         (params, opt_state, msum), _ = jax.lax.scan(
             sgd_pass, (params, opt_state, zero),
             jax.random.split(key, sgd_iters))

@@ -93,11 +93,21 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--kl_coeff", type=float, default=0.2)
     p.add_argument("--vf_clip", type=float, default=10.0)
     p.add_argument("--vf_coeff", type=float, default=1.0)
-    p.add_argument("--entropy_coeff", type=float, default=0.0)
+    # The commander needs an entropy bonus: with the reference's 0.0 the
+    # shared policy collapses to "always fight the closest opponent"
+    # (measured: entropy 0.034, kl ~7e-5 after 300 iters) and the adaptive
+    # KL penalty then has nothing to push against.
+    p.add_argument("--entropy_coeff", type=float,
+                   default=0.0 if mode == 0 else 0.01)
     p.add_argument("--rollout_len", type=int, default=128 if mode == 0 else 64)
     p.add_argument("--seq_len", type=int, default=16 if mode == 0 else 8)
-    p.add_argument("--sgd_iters", type=int, default=4)
-    p.add_argument("--num_minibatches", type=int, default=8)
+    # The reference leaves RLlib's num_sgd_iter at its default 30 with
+    # minibatch 256 over a 2000-step batch (~240 updates per iteration).
+    # Our per-iteration batches are 30x larger, so matching its *per-sample*
+    # update intensity needs many more minibatch updates per batch than the
+    # round-2 defaults (4x8) delivered.
+    p.add_argument("--sgd_iters", type=int, default=8)
+    p.add_argument("--num_minibatches", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint_every", type=int, default=50)
     p.add_argument("--render_every", type=int, default=500)

@@ -39,7 +39,7 @@ def main(argv=None):
     os.makedirs(eval_log, exist_ok=True)
     eval_file = os.path.join(eval_log, f"Metrics_{config}.json")
 
-    model = CommanderGru()
+    model = CommanderGru(n_opp=cfg.n_opp_hl, num_agents=cfg.num_agents)
     params = None
     if args.eval_hl:
         trainer = CommanderPPO(cfg, HierPPOConfig(num_envs=1), bank)
@@ -74,8 +74,8 @@ def main(argv=None):
     evals = harness.postprocess_eval(stats, args.n_evals, eval_file)
     for k, v in evals.items():
         print(f"{k}: {round(v, 2)}")
-    print(f"episodes finished within MAX_MACRO: {stats['finished']}"
-          f"/{args.n_evals}")
+    print(f"episodes finished within the macro-step bound: "
+          f"{stats['finished']}/{args.n_evals}")
 
     if args.render and args.render_every:
         # rendered episodes every N (evaluation.py:61-62): re-run those
@@ -87,7 +87,7 @@ def main(argv=None):
             rew, steps, _, trace = run_episode_highlevel(
                 cfg, model, params, bank, k_ep,
                 fixed_action=None if args.eval_hl else 1,
-                max_macro=harness.MAX_MACRO)
+                max_macro=harness.max_macro_steps(cfg))
             png = os.path.join(eval_log, f"Ep_{ep}_Rew_{round(rew, 2)}.png")
             plot_episode(trace, png, status=f"eval episode {ep}")
             print(f"rendered {png}")

@@ -83,7 +83,6 @@ def run_episode_highlevel(cfg, model, params, bank, key, greedy=True,
         st, obs, h, acc, done_seen = carry
         k_act, k_env = jax.random.split(k)
         if fixed_action is None:
-            from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO  # noqa: cycle-safe
             logits, _, h_new = _commander_forward(model, params, obs, h, na)
             a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:

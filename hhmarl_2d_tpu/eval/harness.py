@@ -32,10 +32,14 @@ def stat_keys(cfg):
     return BASE_STAT_KEYS + tuple(
         f"opp{k}" for k in range(1, max(3, cfg.n_opp_hl) + 1))
 
-# Upper bound on commander macro-steps per episode: every macro action runs
-# at least HL_MIN_SUB_STEPS+2 ticks unless it ends in a kill/OOB event, and
-# there are at most total_num such events per episode.
-MAX_MACRO = 64
+def max_macro_steps(cfg) -> int:
+    """Upper bound on commander macro-steps per episode: every macro action
+    runs at least HL_MIN_SUB_STEPS+1 ticks unless it ends in a kill/OOB
+    event, and there are at most n_slots such events per episode (each
+    aircraft dies at most once)."""
+    from hhmarl_2d_tpu import constants as C
+    return (-(-cfg.horizon // (C.HL_MIN_SUB_STEPS + 1))
+            + cfg.n_slots + 2)
 
 
 def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
@@ -78,7 +82,7 @@ def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
             return (st, obs, h, done_seen | done, stats, n_actions), None
 
         stats0 = {kname: jnp.asarray(0, jnp.int32) for kname in keys_stat}
-        keys = jax.random.split(jax.random.fold_in(k, 1), MAX_MACRO)
+        keys = jax.random.split(jax.random.fold_in(k, 1), max_macro_steps(cfg))
         (st, obs, h, done, stats, n_actions), _ = jax.lax.scan(
             step_fn, (st, obs, h, jnp.asarray(False), stats0,
                       jnp.asarray(0, jnp.int32)), keys)

@@ -20,8 +20,7 @@ import orbax.checkpoint as ocp
 
 def _mngr(path: str) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
-        ocp.test_utils.erase_and_create_empty(path)
-        if False else os.path.abspath(path),
+        os.path.abspath(path),
         options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True))
 
 
