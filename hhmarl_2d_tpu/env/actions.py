@@ -18,7 +18,7 @@ _MAXSPD = np.asarray(C.MAX_SPEED_KNOTS, np.float32)
 
 
 def apply_actions(cfg, sim, acts, acting, opp_target, key, mode="LowLevel",
-                  agent_mode=None):
+                  agent_mode=None, draws=None):
     """Apply decoded actions for every slot in ``acting``.
 
     acts        [n, 4] int32; AC2 ignores column 3 (missile)
@@ -58,7 +58,9 @@ def apply_actions(cfg, sim, acts, acting, opp_target, key, mode="LowLevel",
     sim = engine.fire_missiles(sim, attempt, opp_target)
 
     lo, hi = C.MISSILE_WAIT_LL if mode == "LowLevel" else C.MISSILE_WAIT_HL
-    wait_draw = jax.random.randint(key, (n,), lo, hi + 1, dtype=jnp.int32)
+    if draws is None:
+        from hhmarl_2d_tpu.env.scripted import DRAWS as draws
+    wait_draw = draws.randint(key, lo, hi, (n,)).astype(jnp.int32)
     wait = jnp.where(attempt, wait_draw, sim.missile_wait)
     pen = pen + jnp.where(
         attempt & is_agent & (sim.missile_remain < 3)

@@ -93,12 +93,18 @@ def _opp_stats_focus(cfg, sim, opp_to_attack, geom):
 
 
 def step(cfg, state: LLState, agent_actions, key,
-         opp_actor: Optional[OppActor] = None):
+         opp_actor: Optional[OppActor] = None, draws=None, tick_u=None):
     """One environment step.
 
     agent_actions [num_agents, 4] int32 (AC2 column 3 ignored).
+    ``draws``: optional scripted.Draws override pinning the env-level
+    random draws; ``tick_u``: optional dict(u_cannon=, u_steer=) pinning
+    the engine's stochastic rolls -- both exist for the differential
+    parity tests and default to the production PRNG stream.
     Returns (LLState, obs, rewards [num_agents], done, info dict).
     """
+    if draws is None:
+        from hhmarl_2d_tpu.env.scripted import DRAWS as draws
     n, na = cfg.n_slots, cfg.num_agents
     sim = state.sim
     steps = state.steps + 1
@@ -118,7 +124,7 @@ def step(cfg, state: LLState, agent_actions, key,
     escaping, esc_time = state.escaping, state.esc_time
     if cfg.level <= 3:
         sim, escaping, esc_time = scripted.run_scripted(
-            cfg, sim, steps, escaping, esc_time, k_opp, geom_pre)
+            cfg, sim, steps, escaping, esc_time, k_opp, geom_pre, draws)
     else:
         if opp_actor is None:
             raise ValueError("levels 4-5 need an opp_actor (frozen policies)")
@@ -129,11 +135,12 @@ def step(cfg, state: LLState, agent_actions, key,
         acting = acting.at[na:].set(sim.alive[na:])
 
     sim, pen = A.apply_actions(cfg, sim, acts, acting, targets, k_act,
-                               mode="LowLevel")
+                               mode="LowLevel", draws=draws)
 
     # dynamics
     sim, events = engine.tick(sim, k_tick, na,
-                              friendly_check=cfg.friendly_kill)
+                              friendly_check=cfg.friendly_kill,
+                              **(tick_u or {}))
 
     # rewards
     sim, rews, destroyed_agents, _ = R.combat_rewards(

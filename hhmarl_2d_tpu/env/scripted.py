@@ -23,6 +23,25 @@ from hhmarl_2d_tpu.env import geometry as G
 from hhmarl_2d_tpu.sim import engine
 
 
+class Draws:
+    """Source of the env-level random draws (reference ``random.*`` sites).
+
+    Injectable so differential parity tests can pin every draw to the same
+    deterministic value in both the reference env and this one
+    (tests/test_parity_reference.py).  ``randint`` is hi-INCLUSIVE, exactly
+    like python's random.randint the reference calls.
+    """
+
+    def randint(self, key, lo, hi, shape=()):
+        return jax.random.randint(key, shape, lo, hi + 1)
+
+    def uniform(self, key, lo, hi, shape=()):
+        return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+
+DRAWS = Draws()
+
+
 def _closest_agent(cfg, sim, opp_slot, geom=None):
     """Closest alive agent to this opponent ([0][0..2] of _nearby_object)."""
     geom = geom if geom is not None else G.pairwise(sim, cfg.map_size)
@@ -32,11 +51,11 @@ def _closest_agent(cfg, sim, opp_slot, geom=None):
     return tgt, valid[0], geom["dist_norm"][opp_slot, tgt], geom["focus"][opp_slot, tgt]
 
 
-def _missile_attempt(cfg, sim, i, steps, key, geom=None):
+def _missile_attempt(cfg, sim, i, steps, key, geom=None, draws=DRAWS):
     """Shared missile logic of levels 1 and 2 (env_hetero.py:119-123):
     fire at the closest agent in a 3-tick window every 40 steps, coin-gated;
     sets missile_wait to 5 (never decremented -> one shot per episode)."""
-    coin = jax.random.randint(key, (), 0, 2) == 1
+    coin = draws.randint(key, 0, 1) == 1
     tgt, tgt_valid, _, _ = _closest_agent(cfg, sim, i, geom)
     window = jnp.isin(jnp.mod(steps, 40), jnp.asarray([0, 1, 2]))
     mask = jnp.zeros(cfg.n_slots, dtype=bool).at[i].set(
@@ -49,15 +68,16 @@ def _missile_attempt(cfg, sim, i, steps, key, geom=None):
     return sim.replace(missile_wait=wait)
 
 
-def level1(cfg, sim, steps, key, geom=None):
+def level1(cfg, sim, steps, key, geom=None, draws=DRAWS):
     """Stationary opponents that only fire occasional missiles."""
     for off, k in zip(range(cfg.num_opps),
                       jax.random.split(key, cfg.num_opps)):
-        sim = _missile_attempt(cfg, sim, cfg.num_agents + off, steps, k, geom)
+        sim = _missile_attempt(cfg, sim, cfg.num_agents + off, steps, k, geom,
+                               draws)
     return sim
 
 
-def level2(cfg, sim, steps, key, geom=None):
+def level2(cfg, sim, steps, key, geom=None, draws=DRAWS):
     """Continuous cannon + random maneuvering (env_hetero.py:125-136)."""
     n = cfg.n_slots
     is_opp = jnp.arange(n) >= cfg.num_agents
@@ -68,34 +88,33 @@ def level2(cfg, sim, steps, key, geom=None):
                        jax.random.split(key, cfg.num_opps)):
         i = cfg.num_agents + off
         k1, k2, k3, k4 = jax.random.split(kk, 4)
-        period = jax.random.randint(k1, (), 35, 46)
+        period = draws.randint(k1, 35, 45)
         maneuver = sim.alive[i] & ((steps <= 5) | (jnp.mod(steps, period) <= 5))
-        turn = jnp.where(jax.random.randint(k2, (), 0, 2) == 1, -90.0, 90.0)
+        turn = jnp.where(draws.randint(k2, 0, 1) == 1, -90.0, 90.0)
         new_h = jnp.mod(sim.heading[i] + turn, 360.0)
-        new_s = 100.0 + jax.random.randint(k3, (), 0, 5).astype(jnp.float32) * 75.0
+        new_s = 100.0 + draws.randint(k3, 0, 4).astype(jnp.float32) * 75.0
         mask = jnp.zeros(n, dtype=bool).at[i].set(maneuver)
         sim = engine.set_heading(sim, jnp.full(n, new_h), mask)
         sim = engine.set_speed(sim, jnp.full(n, new_s), mask)
-        sim = _missile_attempt(cfg, sim, i, steps, k4, geom)
+        sim = _missile_attempt(cfg, sim, i, steps, k4, geom, draws)
     return sim
 
 
-def _escaping_heading(lat_rel, lon_rel, key):
+def _escaping_heading(lat_rel, lon_rel, key, draws=DRAWS):
     """Quadrant-based diagonal escape heading (env_hetero.py:227-245).
 
     Reference reads ``y, x = relative_position(lat, lon)`` so y is the
     latitude fraction and x the longitude fraction; headings are
-    int(uniform(lo, hi)).
+    int(uniform(lo, lo+30)).
     """
     y, x = lat_rel, lon_rel
-    u = jax.random.uniform(key)
     lo = jnp.where(y < 0.5,
                    jnp.where(x < 0.5, 30.0, 300.0),
                    jnp.where(x < 0.5, 120.0, 210.0))
-    return jnp.floor(lo + u * 30.0)
+    return jnp.floor(draws.uniform(key, lo, lo + 30.0))
 
 
-def level3(cfg, sim, steps, escaping, esc_time, key, geom=None):
+def level3(cfg, sim, steps, escaping, esc_time, key, geom=None, draws=DRAWS):
     """Pursuit automaton with random escape phases (env_hetero.py:138-158).
 
     ``escaping``/``esc_time`` are the shared flags; both are carried
@@ -112,37 +131,33 @@ def level3(cfg, sim, steps, escaping, esc_time, key, geom=None):
 
         # trigger: every 60 steps, coin-flip into escape (env_hetero.py:139-142)
         trigger = alive_i & (jnp.mod(steps, 60) == 0) & ~escaping
-        flip = jax.random.randint(k_flip, (), 0, 2) == 1
-        duration = jnp.floor(jax.random.uniform(k_dur, (), minval=20.0,
-                                                maxval=30.0)).astype(jnp.int32)
+        flip = draws.randint(k_flip, 0, 1) == 1
+        duration = jnp.floor(draws.uniform(k_dur, 20.0,
+                                           30.0)).astype(jnp.int32)
         esc_time = jnp.where(trigger & flip, duration, esc_time)
         escaping = escaping | (trigger & flip)
 
         # escape branch (env_hetero.py:144-149, 227-245)
         ml = geo.make_map_limits(cfg.map_size)
         lat_rel, lon_rel = ml.relative_position(sim.lat[i], sim.lon[i])
-        esc_h = _escaping_heading(lat_rel, lon_rel, k_esc_h)
-        esc_s = jnp.floor(jax.random.uniform(k_esc_s, (), minval=300.0,
-                                             maxval=600.0))
-        esc_fire = jax.random.randint(k_esc_f, (), 0, 2) == 1
+        esc_h = _escaping_heading(lat_rel, lon_rel, k_esc_h, draws)
+        esc_s = jnp.floor(draws.uniform(k_esc_s, 300.0, 600.0))
+        esc_fire = draws.randint(k_esc_f, 0, 1) == 1
 
         # pursuit branch (_hardcoded_opp, env_hetero.py:247-271)
         tgt, tgt_valid, d_norm, focus = _closest_agent(cfg, sim, i, geom)
         sign = G.correct_angle_sign(sim.heading[i], sim.lat[i], sim.lon[i],
                                     sim.lat[tgt], sim.lon[tgt])
-        r = jax.random.uniform(k_r, (), minval=0.7, maxval=1.3)
+        r = draws.uniform(k_r, 0.7, 1.3)
         turn_ok = tgt_valid & (d_norm > 0.008) & (focus > 4.0)
         pur_h = jnp.where(turn_ok,
                           jnp.mod(sim.heading[i] + r * sign * focus, 360.0),
                           sim.heading[i])
-        spd_near = jnp.floor(jax.random.uniform(k_spd, (), minval=100.0,
-                                                maxval=400.0))
+        spd_near = jnp.floor(draws.uniform(k_spd, 100.0, 400.0))
         spd_far = jnp.where(
             focus < 30.0,
-            jnp.floor(jax.random.uniform(k_spd2, (), minval=500.0,
-                                         maxval=800.0)),
-            jnp.floor(jax.random.uniform(k_spd2, (), minval=100.0,
-                                         maxval=500.0)))
+            jnp.floor(draws.uniform(k_spd2, 500.0, 800.0)),
+            jnp.floor(draws.uniform(k_spd2, 100.0, 500.0)))
         pur_s = jnp.where(tgt_valid & (d_norm > 0.05), spd_far, spd_near)
         pur_s = jnp.where(sim.ac_type[i] == 2, jnp.clip(pur_s, 0.0, 600.0),
                           pur_s)
@@ -176,12 +191,13 @@ def level3(cfg, sim, steps, escaping, esc_time, key, geom=None):
     return sim, escaping, esc_time
 
 
-def run_scripted(cfg, sim, steps, escaping, esc_time, key, geom=None):
+def run_scripted(cfg, sim, steps, escaping, esc_time, key, geom=None,
+                 draws=DRAWS):
     """Dispatch by (static) curriculum level."""
     if cfg.level == 1:
-        return level1(cfg, sim, steps, key, geom), escaping, esc_time
+        return level1(cfg, sim, steps, key, geom, draws), escaping, esc_time
     if cfg.level == 2:
-        return level2(cfg, sim, steps, key, geom), escaping, esc_time
+        return level2(cfg, sim, steps, key, geom, draws), escaping, esc_time
     if cfg.level == 3:
-        return level3(cfg, sim, steps, escaping, esc_time, key, geom)
+        return level3(cfg, sim, steps, escaping, esc_time, key, geom, draws)
     raise ValueError(f"no scripted behavior for level {cfg.level}")

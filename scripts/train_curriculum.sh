@@ -2,22 +2,32 @@
 # Full curriculum on the real TPU chip via the CLI drivers, producing the
 # learning evidence referenced from README: per-level results/*/metrics.jsonl
 # learning curves, the frozen policy store (policies/), rendered episodes,
-# and the final 1000-episode eval Metrics_*.json.
+# and the final paired 1000-episode evals (commander vs the no-commander
+# closest-opponent baseline) plus the opponent-mix sweep.
 #
 # Mirrors the reference procedure (/root/reference/README.md:25-54):
 # fight L1->L2->L3 with restore chaining, escape at L3, self-play L4/L5
 # against the frozen bank, commander on top, then batch evaluation.
+#
+# Update intensity matches the reference's RLlib defaults (num_sgd_iter 30,
+# minibatch 256 over batch 2000): with our 65k-step batches that means
+# sgd_iters 8 x 32 minibatches (cli/args.py defaults).
 set -e
 cd "$(dirname "$0")/.."
-E=${E:-800}
+E=${E:-1000}
 ARGS="--num_envs 512 --rollout_len 128 --checkpoint_every 100 --render_every 400"
-python -m hhmarl_2d_tpu.cli.train_low --level 1 --epochs "$E" $ARGS
-python -m hhmarl_2d_tpu.cli.train_low --level 2 --epochs "$E" $ARGS
+python -m hhmarl_2d_tpu.cli.train_low --level 1 --epochs 600 $ARGS
+python -m hhmarl_2d_tpu.cli.train_low --level 2 --epochs 800 $ARGS
 python -m hhmarl_2d_tpu.cli.train_low --level 3 --epochs "$E" $ARGS
-python -m hhmarl_2d_tpu.cli.train_low --agent_mode escape --epochs 600 $ARGS
+python -m hhmarl_2d_tpu.cli.train_low --agent_mode escape --epochs 800 $ARGS
 python -m hhmarl_2d_tpu.cli.train_low --level 4 --epochs "$E" $ARGS
-python -m hhmarl_2d_tpu.cli.train_low --level 5 --epochs "$E" $ARGS
-python -m hhmarl_2d_tpu.cli.train_high --epochs 600 --num_envs 256 \
-    --rollout_len 64 --checkpoint_every 100 --render_every 300
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000
+python -m hhmarl_2d_tpu.cli.train_low --level 5 --epochs 1200 $ARGS
+python -m hhmarl_2d_tpu.cli.train_high --epochs "${EH:-1500}" --num_envs 256 \
+    --rollout_len 64 --checkpoint_every 100 --render_every 500
+# paired evaluation: commander vs fixed-closest-opponent baseline
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 1000
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 1000 --no-eval_hl
+# opponent-mix sweep (hier_opp_fight_ratio in {0,25,50,75,100})
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 --sweep_fight_ratio
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 --sweep_fight_ratio --no-eval_hl
 echo "CURRICULUM COMPLETE"

@@ -1,0 +1,214 @@
+"""Closed-loop full-episode differential parity vs the real LowLevelEnv.
+
+Drives complete L1/L2/L3 episodes through the ACTUAL reference environment
+(/root/reference/envs/env_hetero.py LowLevelEnv.step: action decode ->
+scripted opponents -> sim tick -> rewards -> termination accounting) and
+through ``hhmarl_2d_tpu.env.lowlevel.step`` side by side, from an identical
+spawn, with identical per-step agent actions, and with EVERY random draw
+pinned to the same deterministic policy in both stacks:
+
+ * python ``random.randint(a, b)``  -> 1 for coins (0,1), else (a+b)//2
+ * python ``random.uniform(a, b)``  -> (a+b)/2  (midpoint; this also pins
+   the missile steering noise uniform(0.95, 1.05) to exactly 1.0)
+ * cannon hit rolls                 -> a fixed value (parametrized)
+
+On our side the same policy enters through ``scripted.Draws`` injection
+and the engine's ``u_cannon``/``u_steer`` hooks.  Asserted per step: agent
+observation rows, rewards, every aircraft's kinematic state + ammo +
+cooldowns, in-flight missiles, termination flags, and the win/lose/draw
+outcome.  Any drift in the scripted-opponent automata (env_hetero.py:
+118-158, 227-271), ``missile_wait`` bookkeeping (env_base.py:227-236) or
+outcome accounting (env_base.py:79-109) fails these tests.
+"""
+
+import numpy as np
+import pytest
+
+import refshim
+
+refshim.install()
+
+import random as pyrandom  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from test_parity_reference import (  # noqa: E402
+    ALT, build_pair, make_ref_env, assert_aircraft_match,
+    assert_missiles_match)
+
+from hhmarl_2d_tpu import constants as C  # noqa: E402
+from hhmarl_2d_tpu.env import config as ECfg  # noqa: E402
+from hhmarl_2d_tpu.env import lowlevel  # noqa: E402
+from hhmarl_2d_tpu.env import obs as O  # noqa: E402
+from hhmarl_2d_tpu.env import scripted  # noqa: E402
+
+
+class PinnedDraws(scripted.Draws):
+    """Deterministic stand-in for the env-level draws: coins (0,1) -> 1,
+    other randints -> midpoint (a+b)//2, uniforms -> midpoint."""
+
+    def randint(self, key, lo, hi, shape=()):
+        v = 1 if (lo, hi) == (0, 1) else (lo + hi) // 2
+        return jnp.full(shape, v, jnp.int32)
+
+    def uniform(self, key, lo, hi, shape=()):
+        mid = (jnp.asarray(lo, jnp.float32) + jnp.asarray(hi, jnp.float32)) / 2.0
+        return jnp.broadcast_to(mid, shape)
+
+
+@pytest.fixture
+def pinned_ref_random(monkeypatch):
+    """Patch the reference's global-random sites with the same policy."""
+    monkeypatch.setattr(
+        pyrandom, "randint",
+        lambda a, b: 1 if (a, b) == (0, 1) else (a + b) // 2)
+    monkeypatch.setattr(pyrandom, "uniform", lambda a, b: (a + b) / 2.0)
+
+
+def sample_specs(rng, margin=0.03):
+    """4 aircraft (AC1+AC2 per side) spread over the 0.3-degree map."""
+    specs = []
+    for t in (1, 2, 1, 2):
+        specs.append(dict(
+            type=t,
+            lat=float(rng.uniform(5.0 + margin, 5.3 - margin)),
+            lon=float(rng.uniform(7.0 + margin, 7.3 - margin)),
+            heading=float(rng.uniform(0.0, 359.0)),
+            speed=float(rng.uniform(100.0, 550.0))))
+    return specs
+
+
+def sample_actions(rng, na=2):
+    """Random agent MultiDiscrete actions ([13, 9, 2, 2])."""
+    a = np.stack([rng.integers(0, 13, na), rng.integers(0, 9, na),
+                  rng.integers(0, 2, na), rng.integers(0, 2, na)],
+                 axis=1).astype(np.int32)
+    return a
+
+
+def run_episode_pair(level, seed, u_hit, agent_mode="fight",
+                     esc_dist_rew=False):
+    """Step both envs until either terminates; returns (steps, outcome)."""
+    horizon = C.HORIZON_LEVEL[level]
+    rng = np.random.default_rng(seed)
+    specs = sample_specs(rng)
+    sim, st = build_pair(specs, num_agents=2, u_hit=u_hit)
+
+    ref_mode = agent_mode
+    env = make_ref_env(ref_mode, level, horizon=horizon,
+                       esc_dist_rew=esc_dist_rew)
+    env.sim = sim
+    env.alive_agents = 2
+    env.alive_opps = 2
+
+    cfg = ECfg.make_lowlevel_config(level=level, agent_mode=agent_mode,
+                                    esc_dist_rew=esc_dist_rew)
+    assert cfg.horizon == horizon
+
+    obs_mode = "fight" if agent_mode == "fight" else "esc"
+    obs_ref = env.state()          # also fills env.opp_to_attack
+    obs_ours, opp_att, _ = O.lowlevel_side_obs(cfg, st, obs_mode, "agent")
+    _assert_obs(obs_ref, np.asarray(obs_ours), 0)
+
+    state = lowlevel.LLState(
+        sim=st, steps=jnp.asarray(0, jnp.int32), opp_to_attack=opp_att,
+        escaping=jnp.asarray(False), esc_time=jnp.asarray(0, jnp.int32),
+        opp_level=jnp.asarray(level, jnp.int32), key=jax.random.PRNGKey(7))
+
+    pinned = PinnedDraws()
+    tick_u = dict(u_cannon=jnp.full((4, 4), u_hit, jnp.float32),
+                  u_steer=jnp.ones((4,), jnp.float32))
+    step_fn = jax.jit(lambda s, a: lowlevel.step(
+        cfg, s, a, jax.random.PRNGKey(0), draws=pinned, tick_u=tick_u))
+
+    for t in range(1, horizon + 1):
+        acts = sample_actions(rng)
+        ref_action = {1: acts[0], 2: acts[1][:3]}
+        obs_ref, rew_ref, term_ref, _, _ = env.step(ref_action)
+        state, obs_ours, rew_ours, done, info = step_fn(state, jnp.asarray(acts))
+
+        for i in (0, 1):
+            np.testing.assert_allclose(
+                float(rew_ours[i]), float(rew_ref.get(i + 1, 0.0)),
+                atol=2e-3, err_msg=f"step {t} reward agent {i}")
+        assert bool(done) == bool(term_ref["__all__"]), \
+            f"step {t}: done {bool(done)} != ref {term_ref['__all__']}"
+
+        if bool(done):
+            # outcome accounting (env_base.py:91-107 semantics)
+            a_alive = sum(env.sim.unit_exists(i) for i in (1, 2))
+            o_alive = sum(env.sim.unit_exists(i) for i in (3, 4))
+            assert env.alive_agents == a_alive and env.alive_opps == o_alive
+            assert int(info["agents_win"]) == int(o_alive == 0 and t < horizon)
+            assert int(info["opps_win"]) == int(a_alive == 0 and t < horizon)
+            assert int(info["draw"]) == int(
+                t >= horizon and a_alive > 0 and o_alive > 0)
+            outcome = ("win" if int(info["agents_win"]) else
+                       "lose" if int(info["opps_win"]) else "draw")
+            return t, outcome
+
+        # non-terminal: full state must match (ours has not auto-reset)
+        assert_aircraft_match(env.sim, state.sim, t)
+        assert_missiles_match(env.sim, state.sim, t)
+        for i in range(4):
+            assert env.missile_wait[i + 1] == int(state.sim.missile_wait[i]), \
+                f"step {t} slot {i} missile_wait"
+        _assert_obs(obs_ref, np.asarray(obs_ours), t)
+        assert env.alive_agents == int(jnp.sum(state.sim.alive[:2]))
+        assert env.alive_opps == int(jnp.sum(state.sim.alive[2:]))
+
+    raise AssertionError("horizon reached without termination in either env")
+
+
+def _assert_obs(obs_ref, obs_ours, t):
+    for i in (1, 2):
+        ref_row = np.asarray(obs_ref[i], np.float64)
+        ours = obs_ours[i - 1]
+        np.testing.assert_allclose(
+            ours[:len(ref_row)], ref_row, atol=7e-4,
+            err_msg=f"step {t} obs row agent {i}")
+        assert np.all(ours[len(ref_row):] == 0.0)
+
+
+class TestClosedLoopEpisodes:
+    """Golden-seed episodes: seeds chosen so no gameplay threshold sits
+    within float tolerance of a decision boundary (a knife-edge crossing
+    would legitimately diverge the two float stacks)."""
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_level1_full_episode(self, pinned_ref_random, seed):
+        """L1: stationary missile-only opponents; pinned coin=1 fires in
+        every 40-step window."""
+        steps, outcome = run_episode_pair(1, seed, u_hit=1.0)
+        assert steps > 20
+
+    @pytest.mark.parametrize("seed,u_hit", [(5, 0.0), (9, 1.0)])
+    def test_level2_full_episode(self, pinned_ref_random, seed, u_hit):
+        """L2: random-maneuver + continuous-cannon opponents; with
+        u_hit=0.0 every in-envelope burst kills in both sims."""
+        steps, outcome = run_episode_pair(2, seed, u_hit=u_hit)
+        assert steps > 10
+
+    @pytest.mark.parametrize("seed,u_hit", [(2, 0.0), (4, 1.0)])
+    def test_level3_full_episode(self, pinned_ref_random, seed, u_hit):
+        """L3: pursuit/escape automaton with the shared escape flags."""
+        steps, outcome = run_episode_pair(3, seed, u_hit=u_hit)
+        assert steps > 10
+
+    def test_level3_escape_mode_with_shaping(self, pinned_ref_random):
+        """Escape-mode agents: ammo-waste penalties + distance shaping
+        accumulate identically over a full episode."""
+        steps, outcome = run_episode_pair(3, 13, u_hit=1.0,
+                                          agent_mode="escape",
+                                          esc_dist_rew=True)
+        assert steps > 10
+
+    def test_some_episode_produces_kills(self, pinned_ref_random):
+        """At least one of the parametrized battles above must end in a
+        decisive outcome for the parity claim to mean anything."""
+        outcomes = set()
+        for seed, u_hit, level in ((5, 0.0, 2), (2, 0.0, 3), (3, 1.0, 1)):
+            _, outcome = run_episode_pair(level, seed, u_hit=u_hit)
+            outcomes.add(outcome)
+        assert outcomes - {"draw"}, f"only draws observed: {outcomes}"

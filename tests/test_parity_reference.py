@@ -433,7 +433,7 @@ def make_ref_env(agent_mode="fight", level=1, **kw):
         friendly_punish=kw.get("friendly_punish", False),
         glob_frac=kw.get("glob_frac", 0.0),
         esc_dist_rew=kw.get("esc_dist_rew", False), eval_info=False,
-        horizon=150)
+        horizon=kw.get("horizon", 150))
     env = LowLevelEnv({"args": args})
     env.missile_wait = {i: 0 for i in range(1, 5)}
     env.opp_to_attack = {i: None for i in range(1, 5)}
