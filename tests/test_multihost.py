@@ -1,0 +1,32 @@
+"""Multi-host execution: 2 OS processes under jax.distributed.
+
+Proves setup_distributed + place_train_inputs work across a real process
+boundary (SURVEY.md section 2 #21), not just on a single-process virtual
+mesh: two workers each expose 2 virtual CPU devices, join one global
+4-device data mesh, and run a full sharded LowLevelPPO.train_iter whose
+gradient pmean crosses the boundary.  SPMD correctness is asserted by the
+workers reporting bit-identical pmean'd metrics.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_distributed_train_iter():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py"),
+         "--launch"],
+        capture_output=True, text=True, timeout=580, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MULTIHOST LAUNCH OK" in out.stdout
+    with open(os.path.join(REPO, "artifacts", "MULTIHOST.json")) as f:
+        art = json.load(f)
+    assert art["processes"] == 2
+    assert art["global_mesh_devices"] == 4
+    assert art["metrics_identical_across_processes"] is True
+    for k in ("kl_1", "kl_2", "vf_loss_1", "vf_loss_2", "reward_mean"):
+        assert k in art["metrics"]
