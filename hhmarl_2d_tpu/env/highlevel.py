@@ -128,10 +128,15 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca, geom=None):
     return acts, targets
 
 
-def _action_assess(cfg, sim, lists, valids, commander_actions, key):
+def _action_assess(cfg, sim, lists, valids, commander_actions, key,
+                   fight_ratio=None):
     """env_hier.py:142-190: clamp invalid agent choices (-0.1), shaped
     +0.1 rewards for favourable decisions, and sample the opponents'
-    commander actions with hier_opp_fight_ratio."""
+    commander actions with hier_opp_fight_ratio.
+
+    ``fight_ratio`` optionally overrides ``cfg.hier_opp_fight_ratio`` with
+    a *traced* probability in [0, 1] so ratio sweeps reuse one compiled
+    program instead of recompiling per static config value."""
     n, na = cfg.n_slots, cfg.num_agents
     geom = G.pairwise(sim, cfg.map_size)
     num_valid = jnp.sum(valids, axis=1).astype(jnp.int32)
@@ -168,7 +173,9 @@ def _action_assess(cfg, sim, lists, valids, commander_actions, key):
     u_other = jax.random.uniform(k_other, (cfg.num_opps,))
     u_pick = jax.random.uniform(k_pick, (cfg.num_opps,))
     nv_o = num_valid[na:]
-    fight = u_fight < cfg.hier_opp_fight_ratio / 100.0
+    if fight_ratio is None:
+        fight_ratio = cfg.hier_opp_fight_ratio / 100.0
+    fight = u_fight < fight_ratio
     pick_other = (nv_o > 1) & (u_other < 0.75)
     # randint(2, possible) inclusive
     other_id = 2 + jnp.floor(
@@ -200,10 +207,13 @@ def reset(cfg, key):
                    valids=valids, dists=dists, key=k_carry), obs
 
 
-def step(cfg, state: HLState, commander_actions, bank, key):
+def step(cfg, state: HLState, commander_actions, bank, key,
+         fight_ratio=None):
     """One commander step = one macro action (env_hier.py:114-140).
 
     commander_actions: [num_agents] int32 in [0, N_OPP_HL].
+    ``fight_ratio``: optional traced override of the opponent commander's
+    fight probability (see _action_assess).
     Returns (HLState, obs [na, OBS_HL], rewards [na], done, info).
     """
     n, na = cfg.n_slots, cfg.num_agents
@@ -211,7 +221,8 @@ def step(cfg, state: HLState, commander_actions, bank, key):
     k_assess, k_macro, k_reset = jax.random.split(key, 3)
 
     ca, rewards = _action_assess(cfg, sim, state.lists, state.valids,
-                                 commander_actions, k_assess)
+                                 commander_actions, k_assess,
+                                 fight_ratio=fight_ratio)
 
     def substep(carry, inp):
         sim, rewards, steps, stop = carry

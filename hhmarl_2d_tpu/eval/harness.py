@@ -45,19 +45,25 @@ def max_macro_steps(cfg) -> int:
 def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
                        eval_hl: bool = True,
                        fixed_action: int = 1,
-                       chunk_size: int = 256):
+                       chunk_size: int = 256,
+                       fight_ratio=None):
     """Run ``n_episodes`` commander episodes in lockstep.
 
     eval_hl=False bypasses the commander and always assigns the closest
     opponent (evaluation.py:50-52).  Episodes run in vmapped chunks of
     ``chunk_size`` so arbitrarily large sweeps fit in bounded device
     memory (the jitted chunk program is compiled once and reused).
+    The opponent commander's fight probability is a *traced* input, so
+    ratio sweeps (and CLI runs with different --hier_opp_fight_ratio)
+    reuse the same compiled chunk program.
     Returns the accumulated eval_stats dict (plus total_n_actions).
     """
     na = cfg.num_agents
     keys_stat = stat_keys(cfg)
+    if fight_ratio is None:
+        fight_ratio = cfg.hier_opp_fight_ratio / 100.0
 
-    def one_episode(k):
+    def one_episode(k, fr):
         st, obs = highlevel.reset(cfg, k)
         h = jnp.zeros((na, 2, GRU_SIZE))
 
@@ -69,7 +75,8 @@ def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
             else:
                 a = jnp.full((na,), fixed_action, jnp.int32)
                 h_new = h
-            st2, obs2, rew, done, info = highlevel.step(cfg, st, a, bank, kk)
+            st2, obs2, rew, done, info = highlevel.step(cfg, st, a, bank, kk,
+                                                        fight_ratio=fr)
             keep = ~done_seen
             st = jax.tree_util.tree_map(
                 lambda x, y: jnp.where(jnp.reshape(keep, (1,) * x.ndim)
@@ -94,12 +101,13 @@ def evaluate_highlevel(cfg, model, params, bank, n_episodes: int, key,
     n_chunks = -(-n_episodes // chunk)            # ceil; tail keys ignored
     keys = jax.random.split(key, n_chunks * chunk)
     keys = keys.reshape((n_chunks, chunk) + keys.shape[1:])
-    run = jax.jit(jax.vmap(one_episode))
+    run = jax.jit(jax.vmap(one_episode, in_axes=(0, None)))
+    fr = jnp.asarray(fight_ratio, jnp.float32)
     totals = None
     used = 0
     for c in range(n_chunks):
         take = min(chunk, n_episodes - used)
-        stats = jax.device_get(run(keys[c]))
+        stats = jax.device_get(run(keys[c], fr))
         part = {k: int(np.asarray(v)[:take].sum()) for k, v in stats.items()}
         totals = part if totals is None else {
             k: totals[k] + part[k] for k in part}
@@ -111,15 +119,15 @@ def sweep_fight_ratio(cfg, model, params, bank, n_episodes: int, key,
                       ratios=(0, 25, 50, 75, 100), eval_hl: bool = True,
                       chunk_size: int = 256):
     """hier_opp_fight_ratio sweep: one full evaluation per opponent-mix
-    ratio (the knob of config.py:23 / README.md:44).  Returns
-    {ratio: postprocessed metrics}."""
-    import dataclasses
+    ratio (the knob of config.py:23 / README.md:44).  The ratio is a
+    traced input of the chunk program, so the whole sweep shares one
+    compile.  Returns {ratio: postprocessed metrics}."""
     table = {}
     for r in ratios:
-        cfg_r = dataclasses.replace(cfg, hier_opp_fight_ratio=int(r))
-        stats = evaluate_highlevel(cfg_r, model, params, bank, n_episodes,
+        stats = evaluate_highlevel(cfg, model, params, bank, n_episodes,
                                    jax.random.fold_in(key, int(r)),
-                                   eval_hl=eval_hl, chunk_size=chunk_size)
+                                   eval_hl=eval_hl, chunk_size=chunk_size,
+                                   fight_ratio=int(r) / 100.0)
         table[int(r)] = postprocess_eval(stats, n_episodes)
     return table
 

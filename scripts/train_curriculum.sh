@@ -25,8 +25,10 @@ python -m hhmarl_2d_tpu.cli.train_low --level 5 --epochs 1200 $ARGS
 python -m hhmarl_2d_tpu.cli.train_high --epochs "${EH:-1500}" --num_envs 256 \
     --rollout_len 64 --checkpoint_every 100 --render_every 500
 # paired evaluation: commander vs fixed-closest-opponent baseline
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 1000
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 1000 --no-eval_hl
+# (eval_chunk 500 everywhere so the sweeps below reuse the same compiled
+# chunk program -- the fight ratio is a traced input, not a static config)
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 500
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 500 --no-eval_hl
 # opponent-mix sweep (hier_opp_fight_ratio in {0,25,50,75,100})
 python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 --sweep_fight_ratio
 python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 --sweep_fight_ratio --no-eval_hl
