@@ -70,13 +70,15 @@ class TrainState:
 
 @struct.dataclass
 class Batch:
-    obs: jnp.ndarray       # [N, L, 2, OBS_PAD]
-    actions: jnp.ndarray   # [N, L, 2, 4]
-    logp: jnp.ndarray      # [N, L, 2]
-    logits: jnp.ndarray    # [N, L, 2, 26]
-    adv: jnp.ndarray       # [N, L, 2]
-    targets: jnp.ndarray   # [N, L, 2]
+    obs: jnp.ndarray       # [N, L, k, OBS_PAD]
+    actions: jnp.ndarray   # [N, L, k, 4]
+    logp: jnp.ndarray      # [N, L, k]
+    logits: jnp.ndarray    # [N, L, k, 26]
+    adv: jnp.ndarray       # [N, L, k]
+    targets: jnp.ndarray   # [N, L, k]
     seg: jnp.ndarray       # [N, L] episode segment ids
+    ac1: jnp.ndarray       # [N, L, k] bool: slot type == AC1 (k-team path)
+    mate: jnp.ndarray      # [N, L, k] i32: CTDE teammate slot (-1 = none)
 
 
 class LowLevelPPO:
@@ -93,12 +95,17 @@ class LowLevelPPO:
                  mesh=None):
         self.cfg = cfg_env
         self.ppo = ppo
-        self.team = team or P.LowLevelTeam(cfg_env.agent_mode)
+        self.team = team or P.LowLevelTeam(cfg_env.agent_mode,
+                                           cfg_env.num_agents)
         self.opp_actor = opp_actor
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
             else None
         self.tx = optax.adam(ppo.lr)
         assert ppo.rollout_len % ppo.seq_len == 0
+        # k != 2 teams use the generalized mixed-type paths (forward_k);
+        # the reference's fixed slot0=AC1/slot1=AC2 mapping keeps the
+        # cheaper hardwired path
+        self.gen = cfg_env.num_agents != 2
 
     # --- initialization ----------------------------------------------------
 
@@ -115,18 +122,32 @@ class LowLevelPPO:
 
     # --- rollout -----------------------------------------------------------
 
+    def _team_act(self, params, env_state, obs, key, greedy=False):
+        if not self.gen:
+            return self.team.act(params, obs, key, greedy=greedy)
+        na = self.cfg.num_agents
+        ac1 = env_state.sim.ac_type[:, :na] == 1
+        moh = P.mate_onehot(env_state.tmate, na)
+        return self.team.act_k(params, obs, ac1, moh, key, greedy=greedy)
+
     def _rollout(self, ts: TrainState, env_state, obs0, key):
+        na = self.cfg.num_agents
+
         def step_fn(carry, k):
             env_state, obs = carry
             k_act, k_env = jax.random.split(k)
-            actions, logp, values, logits = self.team.act(ts.params, obs, k_act)
+            actions, logp, values, logits = self._team_act(
+                ts.params, env_state, obs, k_act)
+            out = dict(obs=obs, actions=actions, logp=logp, values=values,
+                       logits=logits,
+                       ac1=env_state.sim.ac_type[:, :na] == 1,
+                       mate=env_state.tmate)
             env_keys = jax.random.split(k_env, self.ppo.num_envs)
             env_state, next_obs, rew, done, info = jax.vmap(
                 lambda s, a, kk: lowlevel.step(self.cfg, s, a, kk,
                                                self.opp_actor))(
                 env_state, actions, env_keys)
-            out = dict(obs=obs, actions=actions, logp=logp, values=values,
-                       logits=logits, rew=rew, done=done, info=info)
+            out.update(rew=rew, done=done, info=info)
             return (env_state, next_obs), out
 
         keys = jax.random.split(key, self.ppo.rollout_len)
@@ -134,10 +155,11 @@ class LowLevelPPO:
             step_fn, (env_state, obs0), keys)
         return env_state, obs_last, traj
 
-    def _make_batch(self, ts, traj, obs_last):
+    def _make_batch(self, ts, traj, env_state, obs_last):
         """GAE, per-policy advantage standardization, sequence slicing."""
-        _, _, last_values, _ = self.team.act(
-            ts.params, obs_last, jax.random.PRNGKey(0), greedy=True)
+        _, _, last_values, _ = self._team_act(
+            ts.params, env_state, obs_last, jax.random.PRNGKey(0),
+            greedy=True)
         adv, targets = compute_gae(
             traj["rew"], traj["values"],
             traj["done"][..., None].astype(jnp.float32),
@@ -158,11 +180,14 @@ class LowLevelPPO:
         return Batch(obs=to_seqs(traj["obs"]), actions=to_seqs(traj["actions"]),
                      logp=to_seqs(traj["logp"]), logits=to_seqs(traj["logits"]),
                      adv=to_seqs(adv), targets=to_seqs(targets),
-                     seg=seg.reshape(n_seqs, L))
+                     seg=seg.reshape(n_seqs, L),
+                     ac1=to_seqs(traj["ac1"]), mate=to_seqs(traj["mate"]))
 
     # --- loss --------------------------------------------------------------
 
     def _loss(self, params, batch: Batch, kl_coeff):
+        if self.gen:
+            return self._loss_k(params, batch, kl_coeff)
         logits, values = self.team.forward(
             params, batch.obs,
             act_norm=batch.actions.astype(jnp.float32) / _ACT_NORM,
@@ -195,6 +220,55 @@ class LowLevelPPO:
             metrics[f"entropy_{t}"] = jnp.mean(ent)
         return total, metrics
 
+    def _loss_k(self, params, batch: Batch, kl_coeff):
+        """Mixed-type k-slot loss: per-element stats from both type heads
+        selected by the slot's type; per-policy terms are masked means
+        over that policy's slots (each policy optimizes the mean loss of
+        its own samples, like RLlib's per-policy optimizers)."""
+        act_norm = batch.actions.astype(jnp.float32) / _ACT_NORM
+        moh = P.mate_onehot(batch.mate, self.cfg.num_agents)
+        logits, values = self.team.forward_k(
+            params, batch.obs, batch.ac1, moh, act_norm=act_norm,
+            seg=batch.seg)
+        w1, w2 = sum(D.NVEC_AC1), sum(D.NVEC_AC2)
+        lg1, lg2 = logits[..., :w1], logits[..., :w2]
+        old1, old2 = batch.logits[..., :w1], batch.logits[..., :w2]
+        a1, a2 = batch.actions[..., :len(D.NVEC_AC1)], \
+            batch.actions[..., :len(D.NVEC_AC2)]
+        sel = lambda x1, x2: jnp.where(batch.ac1, x1, x2)
+        lp = sel(D.log_prob(lg1, D.NVEC_AC1, a1),
+                 D.log_prob(lg2, D.NVEC_AC2, a2))
+        ent = sel(D.entropy(lg1, D.NVEC_AC1), D.entropy(lg2, D.NVEC_AC2))
+        kl = sel(D.kl(old1, lg1, D.NVEC_AC1), D.kl(old2, lg2, D.NVEC_AC2))
+
+        ratio = jnp.exp(lp - batch.logp)
+        surr = jnp.minimum(
+            ratio * batch.adv,
+            jnp.clip(ratio, 1 - self.ppo.clip, 1 + self.ppo.clip) * batch.adv)
+        vf = jnp.clip((values - batch.targets) ** 2, 0.0, self.ppo.vf_clip)
+
+        def masked_mean(x, m):
+            return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        total = 0.0
+        metrics = {}
+        masks = {1: batch.ac1.astype(jnp.float32),
+                 2: (~batch.ac1).astype(jnp.float32)}
+        for t in (1, 2):
+            m = masks[t]
+            pol_loss = -masked_mean(surr, m)
+            vf_loss = masked_mean(vf, m)
+            kl_t = masked_mean(kl, m)
+            ent_t = masked_mean(ent, m)
+            total = total + (pol_loss + kl_coeff[t - 1] * kl_t
+                             + self.ppo.vf_coeff * vf_loss
+                             - self.ppo.entropy_coeff * ent_t)
+            metrics[f"kl_{t}"] = kl_t
+            metrics[f"pol_loss_{t}"] = pol_loss
+            metrics[f"vf_loss_{t}"] = vf_loss
+            metrics[f"entropy_{t}"] = ent_t
+        return total, metrics
+
     def _metric_keys(self):
         return [f"{name}_{t}" for t in (1, 2)
                 for name in ("kl", "pol_loss", "vf_loss", "entropy")]
@@ -205,7 +279,7 @@ class LowLevelPPO:
     def train_iter(self, ts: TrainState, env_state, obs, key):
         k_roll, k_shuf = jax.random.split(key)
         env_state, obs_last, traj = self._rollout(ts, env_state, obs, k_roll)
-        batch = self._make_batch(ts, traj, obs_last)
+        batch = self._make_batch(ts, traj, env_state, obs_last)
         # epoch means over every minibatch of every pass: RLlib's update_kl
         # feeds on the mean KL of the whole train batch, not the last
         # minibatch (rllib PPO kl stat -> update_kl)

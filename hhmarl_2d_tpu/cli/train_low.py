@@ -79,7 +79,7 @@ def main(argv=None):
         raise SystemExit(f"--num_envs {ppo.num_envs} must be divisible by "
                          f"the {n_dev}-device mesh")
 
-    team = P.LowLevelTeam(args.agent_mode)
+    team = P.LowLevelTeam(args.agent_mode, args.num_agents)
     team_fight = team if args.agent_mode == "fight" else P.LowLevelTeam("fight")
     team_esc = team if args.agent_mode == "escape" else P.LowLevelTeam("escape")
     opp_actor = build_opp_actor(args, team_fight, team_esc)

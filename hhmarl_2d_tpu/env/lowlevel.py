@@ -39,6 +39,8 @@ class LLState:
     sim: SimState
     steps: jnp.ndarray          # i32
     opp_to_attack: jnp.ndarray  # i32[num_agents]: designation from last obs
+    tmate: jnp.ndarray          # i32[num_agents]: friendly slot in the obs
+                                # (-1 if none); the CTDE critic pairs with it
     escaping: jnp.ndarray       # bool: L3 shared escape flag
     esc_time: jnp.ndarray       # i32: L3 escape countdown
     opp_level: jnp.ndarray      # i32: L5 per-episode opponent level (3..5)
@@ -63,6 +65,7 @@ def _fresh_state(cfg, key):
         opp_level = jnp.asarray(cfg.level, dtype=jnp.int32)
     return LLState(sim=sim, steps=jnp.asarray(0, jnp.int32),
                    opp_to_attack=jnp.full((cfg.num_agents,), -1, jnp.int32),
+                   tmate=jnp.full((cfg.num_agents,), -1, jnp.int32),
                    escaping=jnp.asarray(False),
                    esc_time=jnp.asarray(0, jnp.int32),
                    opp_level=opp_level.astype(jnp.int32),
@@ -72,9 +75,9 @@ def _fresh_state(cfg, key):
 def reset(cfg, key):
     """New episode.  Returns (LLState, obs [num_agents, OBS_PAD])."""
     state = _fresh_state(cfg, key)
-    obs, opp_to_attack, _ = O.lowlevel_side_obs(
+    obs, opp_to_attack, _, tmate, _ = O.lowlevel_side_obs_ext(
         cfg, state.sim, _agent_obs_mode(cfg), "agent")
-    return state.replace(opp_to_attack=opp_to_attack), obs
+    return state.replace(opp_to_attack=opp_to_attack, tmate=tmate), obs
 
 
 def _agent_obs_mode(cfg):
@@ -165,6 +168,7 @@ def step(cfg, state: LLState, agent_actions, key,
     # then encode observations for whichever state continues.
     next_state = LLState(sim=sim, steps=steps,
                          opp_to_attack=state.opp_to_attack,
+                         tmate=state.tmate,
                          escaping=escaping, esc_time=esc_time,
                          opp_level=state.opp_level, key=state.key)
     reset_state = _fresh_state(cfg, state.key)
@@ -173,9 +177,9 @@ def step(cfg, state: LLState, agent_actions, key,
             jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a),
         next_state, reset_state)
 
-    obs, opp_to_attack, _ = O.lowlevel_side_obs(
+    obs, opp_to_attack, _, tmate, _ = O.lowlevel_side_obs_ext(
         cfg, next_state.sim, _agent_obs_mode(cfg), "agent")
-    next_state = next_state.replace(opp_to_attack=opp_to_attack)
+    next_state = next_state.replace(opp_to_attack=opp_to_attack, tmate=tmate)
     return next_state, obs, rewards, done, info
 
 

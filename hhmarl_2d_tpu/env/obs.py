@@ -202,6 +202,18 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str, geom=None):
 
     Returns (obs [k, OBS_PAD], opp_to_attack [k] (-1 if none), valid [k]).
     """
+    obs, opp_to_attack, valid, _, _ = lowlevel_side_obs_ext(
+        cfg, sim, mode, side, geom)
+    return obs, opp_to_attack, valid
+
+
+def lowlevel_side_obs_ext(cfg, sim, mode: str, side: str, geom=None):
+    """lowlevel_side_obs plus the friendly (teammate) assignment used in
+    the obs rows -- the CTDE critic pairs each slot with the same teammate
+    (fixed partner in 2-vs-2, closest alive teammate otherwise).
+
+    Returns (obs, opp_to_attack, valid, fri_slot [k], fri_valid [k]).
+    """
     n, na = cfg.n_slots, cfg.num_agents
     if side == "agent":
         slots = list(range(0, na))
@@ -240,4 +252,5 @@ def lowlevel_side_obs(cfg, sim, mode: str, side: str, geom=None):
                                     geom=geom)
     alive_a = _static_take(sim.alive, slots)
     opp_to_attack = jnp.where(opp_valid[:, 0] & alive_a, opp_list[:, 0], -1)
-    return obs, opp_to_attack, valid
+    fri_slot = jnp.where(fri_valid, fri.astype(jnp.int32), -1)
+    return obs, opp_to_attack, valid, fri_slot, fri_valid

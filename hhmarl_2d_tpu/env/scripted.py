@@ -36,7 +36,10 @@ class Draws:
         return jax.random.randint(key, shape, lo, hi + 1)
 
     def uniform(self, key, lo, hi, shape=()):
-        return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+        # explicit f32: under jax_enable_x64 (tests) the default would be
+        # f64 and poison the f32 sim state through scan carries
+        return jax.random.uniform(key, shape, minval=lo, maxval=hi,
+                                  dtype=jnp.float32)
 
 
 DRAWS = Draws()

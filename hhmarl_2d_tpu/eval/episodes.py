@@ -41,11 +41,19 @@ def _to_trace(cfg, rec, done_t):
 def run_episode_lowlevel(cfg, team, params, key, opp_actor=None,
                          greedy=True):
     """Returns (total_reward, steps, info_at_end, EpisodeTrace)."""
+    from hhmarl_2d_tpu.models.policy import mate_onehot
+    na = cfg.num_agents
 
     def step_fn(carry, k):
         st, obs, acc, done_seen = carry
         k_act, k_env = jax.random.split(k)
-        actions, _, _, _ = team.act(params, obs[None], k_act, greedy=greedy)
+        if cfg.num_agents == 2:
+            actions, _, _, _ = team.act(params, obs[None], k_act,
+                                        greedy=greedy)
+        else:
+            actions, _, _, _ = team.act_k(
+                params, obs[None], (st.sim.ac_type[:na] == 1)[None],
+                mate_onehot(st.tmate, na)[None], k_act, greedy=greedy)
         st2, obs2, rew, done, info = lowlevel.step(cfg, st, actions[0], k_env,
                                                    opp_actor)
         # freeze after first done (no auto-reset in the recording)

@@ -38,11 +38,22 @@ def norm_actions(actions, ac_type):
 
 
 class LowLevelTeam:
-    """The two-policy team of the 2-vs-2 low-level stage: slot 0 is AC1,
-    slot 1 is AC2 (train_hetero.py docstring: ids 1->1, 2->2)."""
+    """The two-policy team of the low-level stage.
 
-    def __init__(self, mode: str):
+    In the reference's 2-vs-2 setup the policy mapping is fixed: slot 0 is
+    AC1, slot 1 is AC2 (train_hetero.py:240) -- ``forward``/``act`` keep
+    that exact (and cheaper) path.  For k-vs-m teams, spawn assigns random
+    aircraft types to slots >= 2 per episode (env_base.py:560), so
+    ``forward_k``/``act_k`` evaluate BOTH type models on every slot's
+    padded obs row and select by the slot's ac_type -- the same pattern
+    the commander env uses for its embedded policies
+    (highlevel._greedy_from_models); the CTDE critic pairs each slot with
+    the teammate of its obs row (closest alive, env/obs.py).
+    """
+
+    def __init__(self, mode: str, num_agents: int = 2):
         self.mode = mode
+        self.num_agents = num_agents
         self.models = {1: hetero.make_lowlevel_model(mode, 1),
                        2: hetero.make_lowlevel_model(mode, 2)}
         self.obs_dim = {t: hetero.obs_slices(mode, t)[0] for t in (1, 2)}
@@ -103,6 +114,101 @@ class LowLevelTeam:
         return (jnp.stack(out_a, axis=1), jnp.stack(out_lp, axis=1), values,
                 logits)
 
+    # --- generalized k-slot paths (n-vs-m teams) ---------------------------
+
+    def forward_k(self, params, obs_pad, ac1, mate_oh, act_norm=None,
+                  seg=None):
+        """Evaluate k mixed-type slots: both type models run on every
+        slot's row, outputs selected by the slot's type.
+
+        obs_pad  [B, T, k, OBS_PAD] padded team obs rows
+        ac1      [B, T, k] bool: slot's ac_type == 1
+        mate_oh  [B, T, k, k] one-hot of each slot's teammate (zero row
+                 when there is none -> zero critic 'other' inputs, like
+                 the reference's zero rows for dead partners)
+        act_norm optional [B, T, k, 4] normalized actions for the critic
+        Returns (logits [B,T,k,26], values [B,T,k]).
+
+        The teammate's obs/action columns are sliced (or zero-padded) to
+        the d_other/a_other widths the own-type critic tower expects --
+        exact when the teammate is the opposite type (the only case in the
+        reference's 2-vs-2), a fixed-width feature view when a random
+        k-team pairs same-type slots.
+        """
+        B, T, k = obs_pad.shape[:3]
+        if act_norm is None:
+            act_norm = jnp.zeros((B, T, k, 4), jnp.float32)
+        act_norm = D.pad_actions(act_norm)
+        obs_mate = jnp.einsum("btks,btsd->btkd", mate_oh, obs_pad)
+        act_mate = jnp.einsum("btks,btsd->btkd", mate_oh, act_norm)
+
+        def fold(x):  # [B, T, k, d] -> [B*k, T, d] (time stays axis 1)
+            return jnp.moveaxis(x, 2, 1).reshape((B * k, T) + x.shape[3:])
+
+        seg_k = None
+        if seg is not None:
+            seg_k = jnp.broadcast_to(seg[:, None, :], (B, k, T))
+            seg_k = seg_k.reshape(B * k, T)
+
+        outs = {}
+        for t in (1, 2):
+            d_own, d_other, a_own, a_other = hetero.obs_slices(self.mode, t)
+            logits, v = self._apply(
+                params, t, fold(obs_pad)[..., :d_own],
+                fold(obs_mate)[..., :d_other],
+                fold(act_norm)[..., :a_own], fold(act_mate)[..., :a_other],
+                seg_k)
+            pad = hetero.ACT_LOGITS_AC1 - logits.shape[-1]
+            if pad:
+                logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)))
+            outs[t] = (
+                jnp.swapaxes(logits.reshape(B, k, T, -1), 1, 2),
+                jnp.swapaxes(v.reshape(B, k, T), 1, 2))
+        return (jnp.where(ac1[..., None], outs[1][0], outs[2][0]),
+                jnp.where(ac1, outs[1][1], outs[2][1]))
+
+    def act_k(self, params, obs_pad, ac1, mate_oh, key, greedy=False):
+        """Rollout acting for k mixed-type slots on [B, k, OBS_PAD].
+
+        Returns (actions [B,k,4], log_prob [B,k], value [B,k],
+        logits [B,k,26]); AC2 slots carry zero-padded 3-component actions.
+        """
+        logits, values = self.forward_k(
+            params, obs_pad[:, None], ac1[:, None], mate_oh[:, None])
+        logits, values = logits[:, 0], values[:, 0]
+        k1, k2 = jax.random.split(key)
+        w1, w2 = sum(D.NVEC_AC1), sum(D.NVEC_AC2)
+        lg1, lg2 = logits[..., :w1], logits[..., :w2]
+        a1 = D.mode(lg1, D.NVEC_AC1) if greedy else D.sample(lg1, D.NVEC_AC1, k1)
+        a2 = D.mode(lg2, D.NVEC_AC2) if greedy else D.sample(lg2, D.NVEC_AC2, k2)
+        a = jnp.where(ac1[..., None], D.pad_actions(a1), D.pad_actions(a2))
+        lp = jnp.where(ac1,
+                       D.log_prob(lg1, D.NVEC_AC1, a[..., :len(D.NVEC_AC1)]),
+                       D.log_prob(lg2, D.NVEC_AC2, a[..., :len(D.NVEC_AC2)]))
+        return a, lp, values, logits
+
+
+def mate_onehot(tmate, num_agents):
+    """[..., k] teammate slot indices (-1 = none) -> [..., k, k] one-hot
+    rows (zero row for -1)."""
+    return (tmate[..., None] == jnp.arange(num_agents)).astype(jnp.float32)
+
+
+def greedy_type_actions(team: LowLevelTeam, params, rows):
+    """Greedy per-type decode of [m, OBS_PAD] padded rows through both
+    type models (zero critic inputs -- the actor towers only read own
+    obs).  Returns {1: acts [m,4], 2: acts [m,4]}."""
+    m = rows.shape[0]
+    out = {}
+    for t in (1, 2):
+        d_own, d_other, a_own, a_other = hetero.obs_slices(team.mode, t)
+        logits, _ = team.models[t].apply(
+            params[f"ac{t}"], rows[:, None, :d_own],
+            jnp.zeros((m, 1, d_other)), jnp.zeros((m, 1, a_own)),
+            jnp.zeros((m, 1, a_other)))
+        out[t] = D.pad_actions(D.mode(logits[:, 0], _nvec(t)))
+    return out
+
 
 def make_frozen_opp_actor(opp_team_fight: LowLevelTeam,
                           opp_team_esc: LowLevelTeam,
@@ -133,14 +239,26 @@ def make_frozen_opp_actor(opp_team_fight: LowLevelTeam,
         obs_f, tgt_f, _ = O.lowlevel_side_obs(cfg, sim, "fight", "opp", geom)
         obs_e, tgt_e, _ = O.lowlevel_side_obs(cfg, sim, "esc", "opp", geom)
 
-        def team_actions(team, params, obs_side):
-            logits, _ = team.forward(params, obs_side[None, None])
-            logits = logits[0, 0]
-            acts = []
-            for slot, t in enumerate((1, 2)):
-                nv = _nvec(t)
-                acts.append(D.pad_actions(D.mode(logits[slot, :sum(nv)], nv)))
-            return jnp.stack(acts)
+        if cfg.num_opps == 2:
+            # fixed slot->type mapping of the 2-opponent reference setup
+            # (spawn pins slots na, na+1 to types 1, 2) -- one model pass
+            # per slot instead of two
+            def team_actions(team, params, obs_side):
+                logits, _ = team.forward(params, obs_side[None, None])
+                logits = logits[0, 0]
+                acts = []
+                for slot, t in enumerate((1, 2)):
+                    nv = _nvec(t)
+                    acts.append(D.pad_actions(
+                        D.mode(logits[slot, :sum(nv)], nv)))
+                return jnp.stack(acts)
+        else:
+            # k-opponent teams carry per-episode random types on slots >= 2
+            ac1_opp = sim.ac_type[na:] == 1
+
+            def team_actions(team, params, obs_side):
+                acts = greedy_type_actions(team, params, obs_side)
+                return jnp.where(ac1_opp[:, None], acts[1], acts[2])
 
         acts_f = team_actions(opp_team_fight, fight_params, obs_f)
         acts_e = team_actions(opp_team_esc, bank["escape"], obs_e)

@@ -14,12 +14,12 @@ import numpy as np
 
 from hhmarl_2d_tpu.env import config as ECfg, lowlevel
 
-GOLD_LAT = [0.04956245, 0.20604865, 0.08217973, 0.20425756]
-GOLD_LON = [0.1859658, 0.15223786, 0.15024605, 0.11686887]
-GOLD_HEADING = [220.0, 322.5, 127.86755, 94.0]
-GOLD_SPEED = [700.0, 475.0, 648.0, 600.0]
-GOLD_OBS0 = [0.16520816, 0.619886, 0.7777778, 0.61281335,
-             0.5133366, 0.9748168, 0.5118468, 0.11401237]
+GOLD_LAT = [0.04956245, 0.20604865, 0.08180033, 0.20436518]
+GOLD_LON = [0.1859658, 0.15223786, 0.15133649, 0.11700548]
+GOLD_HEADING = [220.0, 322.5, 124.93653, 94.0]
+GOLD_SPEED = [700.0, 475.0, 632.0, 579.0]
+GOLD_OBS0 = [0.16520816, 0.6198860, 0.7777778, 0.61281335,
+             0.51639867, 0.95547098, 0.52813041, 0.11151657]
 
 
 def test_seeded_level3_trajectory():

@@ -144,3 +144,85 @@ class TestEval5v5:
         # agent designation lists capped at n_opp_hl, opponents keep all
         assert int(st.valids[:5].sum(axis=1).max()) <= 3
         assert int(st.valids[5:].sum(axis=1).max()) == 5
+
+
+class TestLowLevelTrainerNvM:
+    """VERDICT r2 item 5: the low-level trainer's team acting generalized
+    beyond the fixed slot0=AC1/slot1=AC2 mapping (train_hetero.py:240)."""
+
+    def test_act_k_matches_fixed_2v2(self):
+        """For the reference's fixed-type 2v2 team, the generalized
+        mixed-type path must reproduce the hardwired path exactly."""
+        team = P.LowLevelTeam("fight", num_agents=2)
+        params = team.init(jax.random.PRNGKey(0))
+        cfg = ECfg.make_lowlevel_config(level=2)
+        B = 3
+        _, obs = jax.vmap(lambda k: lowlevel.reset(cfg, k))(
+            jax.random.split(KEY, B))
+        ac1 = jnp.tile(jnp.asarray([True, False]), (B, 1))
+        moh = P.mate_onehot(jnp.tile(jnp.asarray([1, 0]), (B, 1)), 2)
+
+        a0, lp0, v0, lg0 = team.act(params, obs, KEY, greedy=True)
+        a1, lp1, v1, lg1 = team.act_k(params, obs, ac1, moh, KEY, greedy=True)
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(lp0), np.asarray(lp1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lg0), np.asarray(lg1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_train_iter_3v3_scripted(self):
+        """A 3v3 LowLevelPPO train_iter through the real team-acting path:
+        finite metrics, updated params."""
+        from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+        cfg = ECfg.make_lowlevel_config(level=3, num_agents=3, num_opps=3)
+        ppo = PPOConfig(num_envs=8, rollout_len=32, seq_len=8, sgd_iters=2,
+                        num_minibatches=2)
+        tr = LowLevelPPO(cfg, ppo)
+        assert tr.gen
+        ts, env_state, obs, = tr.init(jax.random.PRNGKey(1))
+        assert obs.shape == (8, 3, 30)
+        ts2, _, _, m = tr.train_iter(ts, env_state, obs, jax.random.PRNGKey(2))
+        for k, v in m.items():
+            assert bool(jnp.isfinite(v)), k
+        changed = jax.tree_util.tree_map(
+            lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+            ts.params, ts2.params)
+        assert any(jax.tree_util.tree_leaves(changed))
+
+    def test_frozen_opp_actor_3v3_level5(self):
+        """Levels 4-5 with 3 opponents: the frozen bank drives every opp
+        slot, selecting the type model per slot's (random) ac_type."""
+        from hhmarl_2d_tpu.utils import checkpoint as CKPT
+        team_f = P.LowLevelTeam("fight")
+        team_e = P.LowLevelTeam("escape")
+        f = team_f.init(jax.random.PRNGKey(1))
+        e = team_e.init(jax.random.PRNGKey(2))
+        bank = {"fight": CKPT.stack_fight_bank([f, f, f]), "escape": e}
+        actor = P.make_frozen_opp_actor(team_f, team_e, bank)
+
+        cfg = ECfg.make_lowlevel_config(level=5, num_agents=3, num_opps=3)
+        st, obs = lowlevel.reset(cfg, jax.random.PRNGKey(3))
+        acts, tgts = actor(cfg, st.sim, st.opp_level, jax.random.PRNGKey(4))
+        assert acts.shape == (6, 4) and tgts.shape == (6,)
+        assert bool((acts[:3] == 0).all())          # agent slots untouched
+        st2, obs2, rew, done, _ = lowlevel.step(
+            cfg, st, jnp.zeros((3, 4), jnp.int32), jax.random.PRNGKey(5),
+            actor)
+        assert bool(jnp.isfinite(obs2).all()) and bool(jnp.isfinite(rew).all())
+
+    def test_l1_3v3_learning_smoke(self):
+        """Reward rises within a few L1 iterations of 3v3 training."""
+        from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+        cfg = ECfg.make_lowlevel_config(level=1, num_agents=3, num_opps=3)
+        ppo = PPOConfig(num_envs=32, rollout_len=64, seq_len=16,
+                        sgd_iters=2, num_minibatches=4)
+        tr = LowLevelPPO(cfg, ppo)
+        ts, env_state, obs = tr.init(jax.random.PRNGKey(5))
+        key = jax.random.PRNGKey(6)
+        rews = []
+        for _ in range(30):
+            key, k = jax.random.split(key)
+            ts, env_state, obs, m = tr.train_iter(ts, env_state, obs, k)
+            rews.append(float(m["reward_mean"]))
+        assert np.mean(rews[-5:]) > np.mean(rews[:5]) + 0.2, rews

@@ -113,6 +113,7 @@ def run_episode_pair(level, seed, u_hit, agent_mode="fight",
 
     state = lowlevel.LLState(
         sim=st, steps=jnp.asarray(0, jnp.int32), opp_to_attack=opp_att,
+        tmate=jnp.asarray([1, 0], jnp.int32),
         escaping=jnp.asarray(False), esc_time=jnp.asarray(0, jnp.int32),
         opp_level=jnp.asarray(level, jnp.int32), key=jax.random.PRNGKey(7))
 

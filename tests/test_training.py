@@ -187,8 +187,8 @@ class TestAdaptiveKL:
 
         # hand replay: same key split, same rollout, same permutations
         k_roll, k_shuf = jax.random.split(key)
-        _, obs_last, traj = tr._rollout(ts, env_state, obs, k_roll)
-        batch = tr._make_batch(ts, traj, obs_last)
+        env_last, obs_last, traj = tr._rollout(ts, env_state, obs, k_roll)
+        batch = tr._make_batch(ts, traj, env_last, obs_last)
         n_seqs = batch.obs.shape[0]
         n_mb = min(ppo.num_minibatches, n_seqs)
         mb = n_seqs // n_mb
