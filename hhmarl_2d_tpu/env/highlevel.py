@@ -129,14 +129,16 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca, geom=None):
 
 
 def _action_assess(cfg, sim, lists, valids, commander_actions, key,
-                   fight_ratio=None):
+                   fight_ratio=None, assess_u=None):
     """env_hier.py:142-190: clamp invalid agent choices (-0.1), shaped
     +0.1 rewards for favourable decisions, and sample the opponents'
     commander actions with hier_opp_fight_ratio.
 
     ``fight_ratio`` optionally overrides ``cfg.hier_opp_fight_ratio`` with
     a *traced* probability in [0, 1] so ratio sweeps reuse one compiled
-    program instead of recompiling per static config value."""
+    program instead of recompiling per static config value.
+    ``assess_u``: optional dict(u_fight=, u_other=, u_pick=) pinning the
+    opponent commander's uniform draws (differential parity tests)."""
     n, na = cfg.n_slots, cfg.num_agents
     geom = G.pairwise(sim, cfg.map_size)
     num_valid = jnp.sum(valids, axis=1).astype(jnp.int32)
@@ -169,9 +171,19 @@ def _action_assess(cfg, sim, lists, valids, commander_actions, key,
 
     # opponents: stochastic commander (env_hier.py:173-186)
     k_fight, k_other, k_pick = jax.random.split(key, 3)
-    u_fight = jax.random.uniform(k_fight, (cfg.num_opps,))
-    u_other = jax.random.uniform(k_other, (cfg.num_opps,))
-    u_pick = jax.random.uniform(k_pick, (cfg.num_opps,))
+    if assess_u is None:
+        u_fight = jax.random.uniform(k_fight, (cfg.num_opps,),
+                                     dtype=jnp.float32)
+        u_other = jax.random.uniform(k_other, (cfg.num_opps,),
+                                     dtype=jnp.float32)
+        u_pick = jax.random.uniform(k_pick, (cfg.num_opps,),
+                                    dtype=jnp.float32)
+    else:
+        bc = lambda u: jnp.broadcast_to(
+            jnp.asarray(u, jnp.float32), (cfg.num_opps,))
+        u_fight, u_other, u_pick = (bc(assess_u["u_fight"]),
+                                    bc(assess_u["u_other"]),
+                                    bc(assess_u["u_pick"]))
     nv_o = num_valid[na:]
     if fight_ratio is None:
         fight_ratio = cfg.hier_opp_fight_ratio / 100.0
@@ -208,12 +220,15 @@ def reset(cfg, key):
 
 
 def step(cfg, state: HLState, commander_actions, bank, key,
-         fight_ratio=None):
+         fight_ratio=None, draws=None, tick_u=None, assess_u=None):
     """One commander step = one macro action (env_hier.py:114-140).
 
     commander_actions: [num_agents] int32 in [0, N_OPP_HL].
     ``fight_ratio``: optional traced override of the opponent commander's
     fight probability (see _action_assess).
+    ``draws``/``tick_u``/``assess_u``: optional pins for the env-level,
+    engine-level and opponent-commander random draws -- the differential
+    parity hooks, mirroring lowlevel.step.
     Returns (HLState, obs [na, OBS_HL], rewards [na], done, info).
     """
     n, na = cfg.n_slots, cfg.num_agents
@@ -222,7 +237,7 @@ def step(cfg, state: HLState, commander_actions, bank, key,
 
     ca, rewards = _action_assess(cfg, sim, state.lists, state.valids,
                                  commander_actions, k_assess,
-                                 fight_ratio=fight_ratio)
+                                 fight_ratio=fight_ratio, assess_u=assess_u)
 
     def substep(carry, inp):
         sim, rewards, steps, stop = carry
@@ -235,9 +250,10 @@ def step(cfg, state: HLState, commander_actions, bank, key,
                                           geom)
         acting = sim.alive & (ca >= 0)
         sim2, _ = A.apply_actions(cfg, sim, acts, acting, targets, k_act,
-                                  mode="HighLevel")
+                                  mode="HighLevel", draws=draws)
         sim2, events = engine.tick(sim2, k_tick, na,
-                                   friendly_check=cfg.friendly_kill)
+                                   friendly_check=cfg.friendly_kill,
+                                   **(tick_u or {}))
         sim2, rews, destroyed_agents, kill_event = R.combat_rewards(
             cfg, sim2, events, jnp.zeros(na), mode="HighLevel")
 

@@ -64,7 +64,10 @@ def commander_obs(cfg, sim):
     # cap the stored agent lists at n_opp_hl (env_hier.py:70-74)
     a_valid = a_valid & (jnp.arange(m) < cfg.n_opp_hl)
     lists = jnp.concatenate([a_order, o_order])
-    valids = jnp.concatenate([a_valid, o_valid])
+    # dead observers keep empty lists (env_hier.py:57,94-97 only fill for
+    # existing units); consumers all mask dead slots, this keeps the
+    # stored lists differentially identical to the reference
+    valids = jnp.concatenate([a_valid, o_valid]) & sim.alive[:, None]
     dists = jnp.concatenate([a_vals, o_vals])
 
     # --- agent obs rows, vectorized over the na agent slots ----------------
