@@ -36,6 +36,11 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
 
     p.add_argument("--eval", action=bool_flag, default=True)
     p.add_argument("--render", action=bool_flag, default=False)
+    p.add_argument("--render_video", action=bool_flag, default=False,
+                   help="Also render evaluation episodes as animated GIFs "
+                        "(per-tick frame sequence; the offline equivalent "
+                        "of the reference's live current.png video, "
+                        "README.md:68-69)")
     p.add_argument("--restore", action=bool_flag, default=False)
     p.add_argument("--restore_path", type=str, default=None)
     p.add_argument("--log_name", type=str, default=None)

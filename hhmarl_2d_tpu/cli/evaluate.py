@@ -90,6 +90,11 @@ def main(argv=None):
                 max_macro=harness.max_macro_steps(cfg))
             png = os.path.join(eval_log, f"Ep_{ep}_Rew_{round(rew, 2)}.png")
             plot_episode(trace, png, status=f"eval episode {ep}")
+            if args.render_video:
+                from hhmarl_2d_tpu.render.plotter import render_video
+                render_video(trace, png[:-4] + ".gif",
+                             status=f"eval episode {ep}",
+                             live_file=os.path.join(eval_log, "current.png"))
             print(f"rendered {png}")
     print(f"------TIME: {round(time.time() - t1, 3)} sec.")
 

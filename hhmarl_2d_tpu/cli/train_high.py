@@ -108,6 +108,10 @@ def main(argv=None):
                 png = os.path.join(args.log_path,
                                    f"Ep_{epoch}_It_{steps}_Rew_{round(rew, 3)}.png")
                 plot_episode(trace, png, status=f"epoch {epoch} rew {rew:.2f}")
+                if args.render_video:
+                    from hhmarl_2d_tpu.render.plotter import render_video
+                    render_video(trace, png[:-4] + ".gif",
+                                 status=f"epoch {epoch}")
                 print(f"  eval episode: rew={rew:.2f} macro-steps={steps}",
                       flush=True)
     logger.close()

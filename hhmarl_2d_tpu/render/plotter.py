@@ -112,3 +112,45 @@ def plot_episode(trace: EpisodeTrace, out_file: str,
     train_hetero.py:96)."""
     t = trace.lat.shape[0] - 1
     plot_frame(trace, t, out_file, status=status)
+
+
+def render_video(trace: EpisodeTrace, out_file: str,
+                 status: Optional[str] = None, every: int = 1,
+                 fps: int = 8, style: str = "scene",
+                 live_file: Optional[str] = None) -> str:
+    """Animated episode: a per-tick frame sequence assembled into a GIF.
+
+    The offline equivalent of the reference's live 'video' mode, which
+    rewrites current.png after every sim tick (README.md:68-69;
+    env_base.plot).  ``style="scene"`` renders each frame through the full
+    drawable pipeline (render/scenplot.py, the reference renderer's
+    vocabulary); ``"fast"`` uses the lightweight matplotlib frame.
+    ``live_file``, when set, is additionally rewritten with every frame as
+    it is produced -- the live-view behavior itself.  ``every`` subsamples
+    ticks.  Returns ``out_file``.
+    """
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    T = trace.lat.shape[0]
+    frames: List[Image.Image] = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in range(0, T, max(1, every)):
+            f = os.path.join(tmp, f"frame_{t:05d}.png")
+            txt = f"{status + ' | ' if status else ''}t={t}"
+            if style == "scene":
+                from hhmarl_2d_tpu.render.scenplot import plot_trace_frame
+                plot_trace_frame(trace, t, f, status=txt)
+            else:
+                plot_frame(trace, t, f, status=txt)
+            if live_file:
+                import shutil
+                shutil.copyfile(f, live_file)
+            frames.append(Image.open(f).convert("P"))
+        if not frames:
+            raise ValueError("empty trace")
+        frames[0].save(out_file, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)
+    return out_file

@@ -22,11 +22,12 @@ def _toy_trace(T=5, n=4, na=2):
     lat = np.cumsum(rng.uniform(-0.005, 0.005, (T, n)), axis=0) + 0.15
     lon = np.cumsum(rng.uniform(-0.005, 0.005, (T, n)), axis=0) + 0.15
     alive = np.ones((T, n), dtype=bool)
-    alive[3:, 2] = False  # opponent 3 dies at t=3
+    if T > 3:
+        alive[3:, 2] = False  # opponent 3 dies at t=3
     m_alive = np.zeros((T, n), dtype=bool)
     m_alive[2:, 0] = True
     cannon = np.zeros((T, n), np.float32)
-    cannon[4, 1] = 3.0
+    cannon[min(4, T - 1), 1] = 3.0
     return EpisodeTrace(
         lat=lat, lon=lon, heading=rng.uniform(0, 360, (T, n)),
         alive=alive, m_lat=lat + 0.01, m_lon=lon + 0.01, m_alive=m_alive,
@@ -98,3 +99,30 @@ class TestScene:
         out = str(tmp_path / "frame.png")
         SP.plot_trace_frame(trace, 4, out, status="test", dpi=60)
         assert os.path.getsize(out) > 1000
+
+
+class TestVideo:
+    def test_render_video_gif(self, tmp_path):
+        """--render_video path: frame sequence assembled into an animated
+        GIF, with the live current.png rewritten per frame
+        (the reference's video mode, README.md:68-69)."""
+        from PIL import Image
+
+        from hhmarl_2d_tpu.render.plotter import render_video
+        trace = _toy_trace(T=6)
+        out = str(tmp_path / "ep.gif")
+        live = str(tmp_path / "current.png")
+        render_video(trace, out, status="ep", every=2, style="fast",
+                     live_file=live)
+        img = Image.open(out)
+        assert getattr(img, "n_frames", 1) == 3       # T=6 every=2
+        assert os.path.getsize(live) > 1000           # last live frame
+
+    def test_render_video_scene_style(self, tmp_path):
+        from PIL import Image
+
+        from hhmarl_2d_tpu.render.plotter import render_video
+        trace = _toy_trace(T=3)
+        out = str(tmp_path / "ep_scene.gif")
+        render_video(trace, out, every=1, style="scene")
+        assert getattr(Image.open(out), "n_frames", 1) == 3
