@@ -32,11 +32,16 @@ NUM_ENVS = 4096
 ROLLOUT = 256
 BASELINE_PER_CHIP = 125_000.0  # 1M / 8 chips (v5p-16)
 
-# production training shape (cli/args.py defaults at bench scale)
+# training shapes at bench scale.  Round 2 benched (sgd_iters=4, mb=8);
+# the production defaults were since raised to (8, 32) to match the
+# reference's per-sample update intensity (cli/args.py) -- the train bench
+# reports BOTH operating points so cross-round numbers stay comparable.
 TRAIN_ENVS = 4096
 TRAIN_ROLLOUT = 128
-SGD_ITERS = 4
+SGD_ITERS = 4          # round-2-comparable point
 NUM_MB = 8
+SGD_ITERS_PROD = 8     # production point (cli/args.py defaults)
+NUM_MB_PROD = 32
 
 
 def bench_rollout():
@@ -83,7 +88,8 @@ def bench_rollout():
     return NUM_ENVS * ROLLOUT * n_iters / dt
 
 
-def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None):
+def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None,
+                sgd_iters=SGD_ITERS, num_mb=NUM_MB):
     """Full train_iter (rollout + GAE + SGD) iterations per second."""
     import jax
     from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
@@ -92,7 +98,7 @@ def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None):
 
     cfg = ECfg.make_lowlevel_config(level=1)
     ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT,
-                    seq_len=16, sgd_iters=SGD_ITERS, num_minibatches=NUM_MB)
+                    seq_len=16, sgd_iters=sgd_iters, num_minibatches=num_mb)
     mesh = M.make_mesh(num_devices)
     tr = LowLevelPPO(cfg, ppo, mesh=mesh)
     ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
@@ -174,11 +180,19 @@ def main():
     if args.mode in ("all", "train"):
         iters_per_s = bench_train()
         train_steps = iters_per_s * TRAIN_ENVS * TRAIN_ROLLOUT
+        prod_iters = bench_train(sgd_iters=SGD_ITERS_PROD,
+                                 num_mb=NUM_MB_PROD)
         extra = {
             "train_iter_per_s": round(iters_per_s, 3),
             "ppo_updates_per_s": round(iters_per_s * SGD_ITERS * NUM_MB, 2),
             "train_env_steps_per_s": round(train_steps),
             "train_batch": TRAIN_ENVS * TRAIN_ROLLOUT,
+            # production update intensity (sgd 8 x 32 minibatches)
+            "train_iter_per_s_prod": round(prod_iters, 3),
+            "ppo_updates_per_s_prod": round(
+                prod_iters * SGD_ITERS_PROD * NUM_MB_PROD, 2),
+            "train_env_steps_per_s_prod": round(
+                prod_iters * TRAIN_ENVS * TRAIN_ROLLOUT),
         }
         if args.mode == "train":
             out.update({
