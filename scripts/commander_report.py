@@ -60,6 +60,35 @@ def main():
         "",
     ]
 
+    fair = os.path.join(args.results, "EVAL_Low-Level_3-vs-3_L5opp",
+                        "Metrics_Low-Level_3-vs-3.json")
+    if os.path.exists(fair):
+        fv = load(fair)
+        md += [
+            "## Apples-to-apples: baseline vs the SAME L5 opponents",
+            "",
+            "The reference's `eval_hl=False` protocol gives the baseline"
+            " *weaker* (L4) opponents while the commander faces L5"
+            " (`env_base._get_policies` `_opp` policies,"
+            " `config.py:100-102`), so the headline margin above"
+            " understates the hierarchy. Re-running the baseline against"
+            " L5 opponents (`--eval_level_opp 5`, 1000 episodes) isolates"
+            " the commander's contribution:",
+            "",
+            "| Policy | win% | lose% | draw% | net margin |",
+            "|---|---|---|---|---|",
+            f"| **Commander** (vs L5) | {cmd['win']:.1f} | {cmd['lose']:.1f}"
+            f" | {cmd['draw']:.1f} | {cmd['win'] - cmd['lose']:+.1f} |",
+            f"| closest-opp baseline (vs L5) | {fv['win']:.1f}"
+            f" | {fv['lose']:.1f} | {fv['draw']:.1f}"
+            f" | {fv['win'] - fv['lose']:+.1f} |",
+            "",
+            f"**Commander win-rate margin at equal opponents:"
+            f" {cmd['win'] - fv['win']:+.1f} points**"
+            f" (net {cmd['win'] - cmd['lose'] - fv['win'] + fv['lose']:+.1f}).",
+            "",
+        ]
+
     sweep_c = os.path.join(cmd_dir, "Metrics_Commander_3-vs-3_sweep.json")
     sweep_b = os.path.join(base_dir, "Metrics_Low-Level_3-vs-3_sweep.json")
     if os.path.exists(sweep_c) and os.path.exists(sweep_b):
