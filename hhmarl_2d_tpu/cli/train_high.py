@@ -100,7 +100,9 @@ def main(argv=None):
             logger.log(epoch, m)
 
         if epoch and epoch % args.checkpoint_every == 0:
-            CKPT.save_train_state(ckpt_dir, epoch, ts)
+            # persistent update_i, not the restarting loop epoch (orbax
+            # silently skips saves to an already-existing step)
+            CKPT.save_train_state(ckpt_dir, int(ts.update_i), ts)
             if args.eval and epoch % args.render_every == 0:
                 rew, steps, info, trace = run_episode_highlevel(
                     cfg, trainer.model, ts.params, bank,

@@ -129,7 +129,10 @@ def main(argv=None):
             logger.log(epoch, m)
 
         if epoch and epoch % args.checkpoint_every == 0:
-            CKPT.save_train_state(ckpt_dir, epoch, ts)
+            # number checkpoints by the TrainState's persistent update
+            # counter, not the loop epoch: a restored run's epochs restart
+            # at 0 and orbax silently skips saves to an existing step
+            CKPT.save_train_state(ckpt_dir, int(ts.update_i), ts)
             if args.level >= 3:
                 CKPT.export_policy(args.policy_dir, args.level,
                                    args.agent_mode, ts.params)

@@ -209,3 +209,30 @@ class TestAdaptiveKL:
             assert len(kls[t]) == ppo.sgd_iters * n_mb == 4
             np.testing.assert_allclose(float(metrics[f"kl_{t}"]),
                                        np.mean(kls[t]), rtol=2e-4, atol=1e-7)
+
+
+def test_restored_run_checkpoints_do_not_collide(tmp_path):
+    """A restored run's loop epochs restart at 0; checkpoint numbering
+    must come from the persistent TrainState.update_i or orbax silently
+    skips the save (the round-3 continuation bug)."""
+    from hhmarl_2d_tpu.utils import checkpoint as CKPT
+    cfg = ECfg.make_lowlevel_config(level=1)
+    ppo = PPOConfig(num_envs=2, rollout_len=8, seq_len=4, sgd_iters=1,
+                    num_minibatches=1)
+    tr = LowLevelPPO(cfg, ppo)
+    ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
+    ts, env_state, obs, _ = tr.train_iter(ts, env_state, obs,
+                                          jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck")
+    CKPT.save_train_state(path, int(ts.update_i), ts)          # step 1
+
+    ts2 = CKPT.restore_train_state(path, ts)
+    assert int(ts2.update_i) == 1
+    ts2, env_state, obs, _ = tr.train_iter(ts2, env_state, obs,
+                                           jax.random.PRNGKey(2))
+    CKPT.save_train_state(path, int(ts2.update_i), ts2)        # step 2
+    ts3 = CKPT.restore_train_state(path, ts)                   # latest
+    assert int(ts3.update_i) == 2
+    l2 = jax.tree_util.tree_leaves(ts2.params)[0]
+    l3 = jax.tree_util.tree_leaves(ts3.params)[0]
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l3))
