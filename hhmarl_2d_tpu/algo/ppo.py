@@ -164,7 +164,25 @@ class LowLevelPPO:
             traj["rew"], traj["values"],
             traj["done"][..., None].astype(jnp.float32),
             last_values, self.ppo.gamma, self.ppo.lam)
-        adv = (adv - adv.mean(axis=(0, 1))) / (adv.std(axis=(0, 1)) + 1e-8)
+        if self.gen:
+            # per-policy standardization (RLlib standardizes advantages
+            # within each policy's batch): in k-teams, slots >= 2 hold a
+            # per-episode random AC1/AC2 mix, so slot columns are NOT
+            # policies -- standardize over the per-type masks instead
+            ac1 = traj["ac1"]
+
+            def masked_standardize(a, m):
+                n = jnp.maximum(m.sum(), 1.0)
+                mu = (a * m).sum() / n
+                var = (((a - mu) ** 2) * m).sum() / n
+                return (a - mu) / (jnp.sqrt(var) + 1e-8)
+
+            m1 = ac1.astype(jnp.float32)
+            adv = jnp.where(ac1, masked_standardize(adv, m1),
+                            masked_standardize(adv, 1.0 - m1))
+        else:
+            # fixed slot0=AC1/slot1=AC2 mapping: per-slot IS per-policy
+            adv = (adv - adv.mean(axis=(0, 1))) / (adv.std(axis=(0, 1)) + 1e-8)
 
         B = traj["rew"].shape[1]
         T = self.ppo.rollout_len

@@ -104,23 +104,42 @@ class CommanderPPO:
 
         obs [B, T, na, d]; act_norm [B, T, na, 1] or None; h [B, na, 2, G].
         Returns (logits [B,T,na,3], values [B,T,na], h' [B,na,2,G]).
+
+        The agent axis is folded into the batch (one model application on
+        [B*na, T, ...] rows -- the models/policy.py forward_k pattern)
+        instead of ``na`` separate applies: same shared params, ~na x less
+        program size and dispatch in rollout and in every SGD minibatch.
         """
-        B, T = obs.shape[0], obs.shape[1]
+        B, T, na = obs.shape[0], obs.shape[1], self.na
         if act_norm is None:
             act_norm = jnp.zeros((B, T, self.na, 1))
-        logits, values, h_new = [], [], []
-        for i in range(self.na):
-            others = _others(i, self.na)
-            obs_o = jnp.stack([obs[:, :, j] for j in others], axis=2)
-            act_o = jnp.stack([act_norm[:, :, j] for j in others], axis=2)
-            lg, v, (ha, hv) = self.model.apply(
-                params, obs[:, :, i], obs_o, act_norm[:, :, i], act_o,
-                h[:, i, 0], h[:, i, 1], reset)
-            logits.append(lg)
-            values.append(v)
-            h_new.append(jnp.stack([ha, hv], axis=1))
-        return (jnp.stack(logits, axis=2), jnp.stack(values, axis=2),
-                jnp.stack(h_new, axis=1))
+        # per-agent teammate indices, ascending (train_hier.py:123-129)
+        others = jnp.asarray([_others(i, na) for i in range(na)])  # [na,na-1]
+
+        def fold_own(x):  # [B, T, na, d] -> [B*na, T, d]
+            return jnp.moveaxis(x, 2, 1).reshape((B * na, T) + x.shape[3:])
+
+        def fold_others(x):  # [B, T, na, d] -> [B*na, T, na-1, d]
+            xo = x[:, :, others]  # [B, T, na, na-1, d]
+            return jnp.moveaxis(xo, 2, 1).reshape(
+                (B * na, T, na - 1) + x.shape[3:])
+
+        h_f = h.reshape((B * na,) + h.shape[2:])  # [B*na, 2, G]
+        reset_f = None
+        if reset is not None:
+            reset_f = jnp.broadcast_to(
+                reset[:, None], (B, na) + reset.shape[1:])
+            reset_f = reset_f.reshape((B * na,) + reset.shape[1:])
+
+        lg, v, (ha, hv) = self.model.apply(
+            params, fold_own(obs), fold_others(obs), fold_own(act_norm),
+            fold_others(act_norm), h_f[:, 0], h_f[:, 1], reset_f)
+
+        def unfold(x):  # [B*na, T, ...] -> [B, T, na, ...]
+            return jnp.moveaxis(x.reshape((B, na) + x.shape[1:]), 1, 2)
+
+        h_new = jnp.stack([ha, hv], axis=1).reshape(B, na, 2, ha.shape[-1])
+        return unfold(lg), unfold(v), h_new
 
     def act(self, params, obs, h, key, greedy=False):
         """obs [B, na, d], h [B, na, 2, G] -> actions [B, na], logp, values,

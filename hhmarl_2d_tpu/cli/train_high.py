@@ -107,13 +107,15 @@ def main(argv=None):
                 rew, steps, info, trace = run_episode_highlevel(
                     cfg, trainer.model, ts.params, bank,
                     jax.random.fold_in(key, epoch))
+                # persistent update counter, not the restarting loop epoch
+                up = int(ts.update_i)
                 png = os.path.join(args.log_path,
-                                   f"Ep_{epoch}_It_{steps}_Rew_{round(rew, 3)}.png")
-                plot_episode(trace, png, status=f"epoch {epoch} rew {rew:.2f}")
+                                   f"Ep_{up}_It_{steps}_Rew_{round(rew, 3)}.png")
+                plot_episode(trace, png, status=f"update {up} rew {rew:.2f}")
                 if args.render_video:
                     from hhmarl_2d_tpu.render.plotter import render_video
                     render_video(trace, png[:-4] + ".gif",
-                                 status=f"epoch {epoch}")
+                                 status=f"update {up}")
                 print(f"  eval episode: rew={rew:.2f} macro-steps={steps}",
                       flush=True)
     logger.close()

@@ -140,10 +140,14 @@ def main(argv=None):
                 rew, steps, info, trace = run_episode_lowlevel(
                     cfg, team, ts.params, jax.random.fold_in(key, epoch),
                     opp_actor)
+                # name renders by the persistent update counter (like the
+                # checkpoints): a restored run's loop epochs restart at 0
+                # and would overwrite the earlier run's renders
+                up = int(ts.update_i)
                 png = os.path.join(
                     args.log_path,
-                    f"Ep_{epoch}_It_{steps}_Lv{args.level}_Rew_{round(rew, 3)}.png")
-                plot_episode(trace, png, status=f"epoch {epoch} rew {rew:.2f}")
+                    f"Ep_{up}_It_{steps}_Lv{args.level}_Rew_{round(rew, 3)}.png")
+                plot_episode(trace, png, status=f"update {up} rew {rew:.2f}")
                 if args.render_video:
                     from hhmarl_2d_tpu.render.plotter import render_video
                     render_video(trace, png[:-4] + ".gif",

@@ -135,7 +135,7 @@ def render_video(trace: EpisodeTrace, out_file: str,
     from PIL import Image
 
     T = trace.lat.shape[0]
-    frames: List[Image.Image] = []
+    paths: List[str] = []
     with tempfile.TemporaryDirectory() as tmp:
         for t in range(0, T, max(1, every)):
             f = os.path.join(tmp, f"frame_{t:05d}.png")
@@ -148,9 +148,14 @@ def render_video(trace: EpisodeTrace, out_file: str,
             if live_file:
                 import shutil
                 shutil.copyfile(f, live_file)
-            frames.append(Image.open(f).convert("P"))
-        if not frames:
+            paths.append(f)
+        if not paths:
             raise ValueError("empty trace")
-        frames[0].save(out_file, save_all=True, append_images=frames[1:],
-                       duration=int(1000 / fps), loop=0)
+        # stream frames from disk at save time instead of holding every
+        # full-resolution frame in memory (a horizon-500 episode at
+        # every=1 would otherwise pin hundreds of frames)
+        first = Image.open(paths[0]).convert("P")
+        rest = (Image.open(p).convert("P") for p in paths[1:])
+        first.save(out_file, save_all=True, append_images=rest,
+                   duration=int(1000 / fps), loop=0)
     return out_file

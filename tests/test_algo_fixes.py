@@ -1,0 +1,106 @@
+"""Round-4 algorithm fixes.
+
+ * the commander's agent-folded forward must match the per-agent loop it
+   replaced (shared params -> identical outputs per agent slot)
+ * the generalized k-team path standardizes advantages per aircraft type
+   (per policy, RLlib semantics), not per slot column
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO, HierPPOConfig, _others
+from hhmarl_2d_tpu.env import config as ECfg
+from hhmarl_2d_tpu.env import highlevel
+from hhmarl_2d_tpu.models import policy as P
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _loop_forward(trainer, params, obs, act_norm, h, reset=None):
+    """The original per-agent python loop (pre-fold reference impl)."""
+    na = trainer.na
+    B, T = obs.shape[0], obs.shape[1]
+    if act_norm is None:
+        act_norm = jnp.zeros((B, T, na, 1))
+    logits, values, h_new = [], [], []
+    for i in range(na):
+        others = _others(i, na)
+        obs_o = jnp.stack([obs[:, :, j] for j in others], axis=2)
+        act_o = jnp.stack([act_norm[:, :, j] for j in others], axis=2)
+        lg, v, (ha, hv) = trainer.model.apply(
+            params, obs[:, :, i], obs_o, act_norm[:, :, i], act_o,
+            h[:, i, 0], h[:, i, 1], reset)
+        logits.append(lg)
+        values.append(v)
+        h_new.append(jnp.stack([ha, hv], axis=1))
+    return (jnp.stack(logits, axis=2), jnp.stack(values, axis=2),
+            jnp.stack(h_new, axis=1))
+
+
+class TestCommanderAgentFold:
+    @pytest.mark.parametrize("n_opp", [2, 3])
+    def test_forward_matches_loop(self, n_opp):
+        cfg = ECfg.make_highlevel_config(n_opp_hl=n_opp)
+        team_f = P.LowLevelTeam("fight")
+        team_e = P.LowLevelTeam("escape")
+        bank = highlevel.make_hl_bank(
+            team_f, team_e, team_f.init(jax.random.PRNGKey(0)),
+            team_e.init(jax.random.PRNGKey(1)))
+        tr = CommanderPPO(cfg, HierPPOConfig(num_envs=4, rollout_len=8,
+                                             seq_len=4), bank)
+        ts, _, _, _ = tr.init(KEY)
+
+        B, T, na, d = 4, 6, tr.na, cfg.obs_hl
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        obs = jax.random.normal(k1, (B, T, na, d))
+        act = jax.random.uniform(k2, (B, T, na, 1))
+        h = jax.random.normal(k3, (B, na, 2, 200)) * 0.1
+        reset = jnp.zeros((B, T), bool).at[:, 3].set(True)
+
+        for args in ((obs, None, h, None), (obs, act, h, reset)):
+            got = tr._forward_agents(ts.params, *args)
+            want = _loop_forward(tr, ts.params, *args)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=2e-5, atol=2e-6)
+
+
+class TestPerPolicyAdvStandardization:
+    def test_k_path_standardizes_per_type(self):
+        """3v3 gen-path batch.adv must be ~N(0,1) within each ac-type mask
+        (per policy), and need not be per slot column."""
+        cfg = ECfg.make_lowlevel_config(level=2, num_agents=3, num_opps=3)
+        ppo = PPOConfig(num_envs=16, rollout_len=32, seq_len=8,
+                        sgd_iters=1, num_minibatches=2)
+        tr = LowLevelPPO(cfg, ppo)
+        assert tr.gen
+        ts, env_state, obs = tr.init(KEY)
+        env_state, obs_last, traj = jax.jit(tr._rollout)(
+            ts, env_state, obs, jax.random.PRNGKey(3))
+        batch = jax.jit(tr._make_batch)(ts, traj, env_state, obs_last)
+        adv = np.asarray(batch.adv)
+        ac1 = np.asarray(batch.ac1)
+        for m in (ac1, ~ac1):
+            assert m.sum() > 0
+            assert abs(adv[m].mean()) < 1e-4
+            assert abs(adv[m].std() - 1.0) < 1e-3
+
+    def test_2v2_path_unchanged_per_slot(self):
+        cfg = ECfg.make_lowlevel_config(level=1)
+        ppo = PPOConfig(num_envs=16, rollout_len=32, seq_len=8,
+                        sgd_iters=1, num_minibatches=2)
+        tr = LowLevelPPO(cfg, ppo)
+        assert not tr.gen
+        ts, env_state, obs = tr.init(KEY)
+        env_state, obs_last, traj = jax.jit(tr._rollout)(
+            ts, env_state, obs, jax.random.PRNGKey(3))
+        batch = jax.jit(tr._make_batch)(ts, traj, env_state, obs_last)
+        adv = np.asarray(batch.adv)
+        for slot in range(2):  # slot == policy in the fixed 2v2 mapping
+            col = adv[..., slot]
+            assert abs(col.mean()) < 1e-4
+            assert abs(col.std() - 1.0) < 1e-3
