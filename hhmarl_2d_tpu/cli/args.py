@@ -83,6 +83,11 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--distributed", action=bool_flag, default=False,
                    help="Multi-host: jax.distributed.initialize() first "
                         "(one process per host; see parallel.mesh)")
+    p.add_argument("--tensorboard", action=bool_flag, default=False,
+                   help="Serve the run's event files with a background "
+                        "TensorBoard server, scanning from port 6006 "
+                        "(train_hetero.py:262-272); events are written "
+                        "whenever the tensorboard writer is importable")
     p.add_argument("--profile", action=bool_flag, default=False,
                    help="Capture a jax.profiler trace of steps 10-12 into "
                         "the log dir")

@@ -15,6 +15,7 @@ import time
 
 import jax
 
+from hhmarl_2d_tpu import constants as C
 from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO, HierPPOConfig
 from hhmarl_2d_tpu.cli import args as ARGS
 from hhmarl_2d_tpu.cli.train_high import build_hl_bank
@@ -35,6 +36,11 @@ def main(argv=None):
 
     config = ("Commander_" if args.eval_hl else "Low-Level_") + \
         f"{args.num_agents}-vs-{args.num_opps}"
+    if cfg.n_opp_hl != C.N_OPP_HL:
+        # keep non-default commander obs/action spaces (e.g. the 3-target
+        # N_OPPS_HL=3 setup of /root/reference/README.md:76-77) from
+        # overwriting the default config's metrics files
+        config += f"_{cfg.n_opp_hl}opp"
     eval_log = os.path.join(args.log_base, "EVAL_" + config)
     os.makedirs(eval_log, exist_ok=True)
     eval_file = os.path.join(eval_log, f"Metrics_{config}.json")

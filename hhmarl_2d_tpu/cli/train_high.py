@@ -75,6 +75,10 @@ def main(argv=None):
     ts, env_state, obs, h = M.place_train_inputs(mesh, ts, env_state, obs, h)
 
     logger = MetricsLogger(args.log_path)
+    tb_proc = None
+    if args.tensorboard:
+        from hhmarl_2d_tpu.utils.metrics import launch_tensorboard
+        tb_proc, _ = launch_tensorboard(args.log_path)
     profiler = Profiler(args.log_path) if args.profile else None
     print(f"--- training {args.log_name}: {ppo.num_envs} envs x "
           f"{ppo.rollout_len} macro-steps per iter on {n_dev} device(s) ---",
@@ -119,6 +123,8 @@ def main(argv=None):
                 print(f"  eval episode: rew={rew:.2f} macro-steps={steps}",
                       flush=True)
     logger.close()
+    if tb_proc is not None:
+        tb_proc.terminate()
 
 
 if __name__ == "__main__":

@@ -97,6 +97,10 @@ def main(argv=None):
     ts, env_state, obs = M.place_train_inputs(mesh, ts, env_state, obs)
 
     logger = MetricsLogger(args.log_path)
+    tb_proc = None
+    if args.tensorboard:
+        from hhmarl_2d_tpu.utils.metrics import launch_tensorboard
+        tb_proc, _ = launch_tensorboard(args.log_path)
     profiler = Profiler(args.log_path) if args.profile else None
     print(f"--- training {args.log_name}: level {args.level} "
           f"{args.agent_mode}, {ppo.num_envs} envs x {ppo.rollout_len} steps "
@@ -155,6 +159,8 @@ def main(argv=None):
                 print(f"  eval episode: rew={rew:.2f} steps={steps} -> {png}",
                       flush=True)
     logger.close()
+    if tb_proc is not None:
+        tb_proc.terminate()
 
 
 if __name__ == "__main__":

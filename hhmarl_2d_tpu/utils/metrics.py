@@ -45,6 +45,49 @@ class MetricsLogger:
             self.tb.close()
 
 
+def find_free_port(start: int = 6006, tries: int = 10) -> int:
+    """First bindable port from ``start`` (the reference's incrementing
+    port scan, train_hetero.py:264-272)."""
+    import socket
+
+    for port in range(start, start + tries):
+        with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+            try:
+                s.bind(("localhost", port))
+            except OSError:
+                continue
+            return port
+    raise OSError(f"no free port in [{start}, {start + tries})")
+
+
+def launch_tensorboard(log_dir: str, port: int = 6006):
+    """Serve ``log_dir`` with a background TensorBoard process, scanning
+    for a free port (train_hetero.py:262-272).  Returns the Popen handle
+    and the chosen port, or (None, None) when tensorboard isn't installed
+    -- training proceeds either way (the JSONL stream is the canonical
+    log)."""
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("tensorboard") is None:
+        try:
+            import tensorboard  # noqa: F401
+            cmd = [sys.executable, "-m", "tensorboard.main"]
+        except Exception:
+            print("tensorboard not installed; skipping server launch",
+                  flush=True)
+            return None, None
+    else:
+        cmd = ["tensorboard"]
+    port = find_free_port(port)
+    proc = subprocess.Popen(
+        cmd + ["--logdir", log_dir, "--port", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    print(f"tensorboard serving {log_dir} on localhost:{port}", flush=True)
+    return proc, port
+
+
 class Profiler:
     """jax.profiler trace capture for a window of steps."""
 

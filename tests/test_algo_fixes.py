@@ -41,6 +41,7 @@ def _loop_forward(trainer, params, obs, act_norm, h, reset=None):
             jnp.stack(h_new, axis=1))
 
 
+@pytest.mark.slow
 class TestCommanderAgentFold:
     @pytest.mark.parametrize("n_opp", [2, 3])
     def test_forward_matches_loop(self, n_opp):

@@ -15,6 +15,9 @@ from hhmarl_2d_tpu.models import policy as P
 from hhmarl_2d_tpu.models.commander import CommanderGru
 from hhmarl_2d_tpu.render.plotter import plot_episode
 
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 

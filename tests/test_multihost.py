@@ -13,6 +13,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

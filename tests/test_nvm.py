@@ -17,6 +17,9 @@ from hhmarl_2d_tpu.env import highlevel
 from hhmarl_2d_tpu.env import rewards as R
 from hhmarl_2d_tpu.models import policy as P
 
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 

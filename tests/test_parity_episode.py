@@ -43,6 +43,9 @@ from hhmarl_2d_tpu.env import lowlevel  # noqa: E402
 from hhmarl_2d_tpu.env import obs as O  # noqa: E402
 from hhmarl_2d_tpu.env import scripted  # noqa: E402
 
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 
 class PinnedDraws(scripted.Draws):
     """Deterministic stand-in for the env-level draws: coins (0,1) -> 1,

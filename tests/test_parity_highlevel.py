@@ -43,6 +43,9 @@ from hhmarl_2d_tpu.env import config as ECfg  # noqa: E402
 from hhmarl_2d_tpu.env import highlevel, hl_obs  # noqa: E402
 from hhmarl_2d_tpu.models import policy as P  # noqa: E402
 
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 # pinned opponent-commander draws: fight whenever the ratio allows
 # (u_fight=0.5), never "pick another agent" (u_other=0.9 vs p=0.75)
 ASSESS_U = dict(u_fight=0.5, u_other=0.9, u_pick=0.5)

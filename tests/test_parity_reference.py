@@ -424,6 +424,9 @@ from hhmarl_2d_tpu.env import obs as O  # noqa: E402
 from hhmarl_2d_tpu.env import rewards as R  # noqa: E402
 from hhmarl_2d_tpu.env import geometry as G  # noqa: E402
 
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 
 def make_ref_env(agent_mode="fight", level=1, **kw):
     """A real LowLevelEnv (plotting stubbed) around an existing sim."""

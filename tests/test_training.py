@@ -11,6 +11,9 @@ from hhmarl_2d_tpu.algo.gae import compute_gae
 from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
 from hhmarl_2d_tpu.env import config as ECfg
 
+# heavy suite: excluded from the default fast gate (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 
