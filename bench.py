@@ -113,7 +113,148 @@ def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None,
                 ts, env_state, obs, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(m["reward_mean"])
         dt = time.time() - t0
-    return n_iters / dt
+    # analytic model FLOPs per iteration: fwd (2/param) on every rollout
+    # row, fwd+bwd (6/param) on every SGD row
+    p_team = _n_params(ts.params)
+    rows = num_envs * TRAIN_ROLLOUT
+    flops = rows * 2 * p_team + sgd_iters * rows * 6 * p_team
+    return n_iters / dt, flops
+
+
+def _n_params(tree):
+    import jax
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+
+def _chip_peak_flops():
+    """Peak dense-matmul FLOP/s of this chip (bf16 MXU peak, the standard
+    MFU denominator).  Override with BENCH_PEAK_FLOPS."""
+    import jax
+    if os.environ.get("BENCH_PEAK_FLOPS"):
+        return float(os.environ["BENCH_PEAK_FLOPS"])
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+                 ("v6", 918e12), ("v4", 275e12)):
+        if k in kind:
+            return v
+    return 197e12
+
+
+def bench_train_l5(num_envs=1024, n_iters=3):
+    """L5 train_iter: the frozen-bank program (4 extra in-graph model
+    evaluations per env step -- fight bank + escape opponents,
+    models/policy.py make_frozen_opp_actor).  Untrained template params;
+    FLOPs and program shape are identical to the real run.
+    Returns (iters_per_s, analytic model FLOPs per iter)."""
+    import jax
+    from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+    from hhmarl_2d_tpu.env import config as ECfg
+    from hhmarl_2d_tpu.models import policy as P
+    from hhmarl_2d_tpu.utils import checkpoint as CKPT
+
+    cfg = ECfg.make_lowlevel_config(level=5)
+    ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT, seq_len=16,
+                    sgd_iters=SGD_ITERS_PROD, num_minibatches=NUM_MB_PROD)
+    team_f = P.LowLevelTeam("fight")
+    team_e = P.LowLevelTeam("escape")
+    f = team_f.init(jax.random.PRNGKey(0))
+    e = team_e.init(jax.random.PRNGKey(1))
+    bank = {"fight": CKPT.stack_fight_bank([f, f, f]), "escape": e}
+    opp_actor = P.make_frozen_opp_actor(team_f, team_e, bank)
+    tr = LowLevelPPO(cfg, ppo, team=team_f, opp_actor=opp_actor)
+    ts, env_state, obs = tr.init(jax.random.PRNGKey(2))
+    ts, env_state, obs, m = tr.train_iter(ts, env_state, obs,
+                                          jax.random.PRNGKey(3))
+    import jax as _j
+    _j.block_until_ready(m["reward_mean"])
+    t0 = time.time()
+    for i in range(n_iters):
+        ts, env_state, obs, m = tr.train_iter(ts, env_state, obs,
+                                              jax.random.PRNGKey(4 + i))
+    _j.block_until_ready(m["reward_mean"])
+    iters_per_s = n_iters / (time.time() - t0)
+
+    rows = num_envs * TRAIN_ROLLOUT
+    p_team = _n_params(f)
+    # per env step: agent team fwd + one fight-bank level fwd + escape fwd
+    flops_roll = rows * 2 * (p_team + p_team + _n_params(e))
+    flops_sgd = SGD_ITERS_PROD * rows * 6 * p_team
+    return iters_per_s, flops_roll + flops_sgd, rows
+
+
+def bench_train_hl(num_envs=256, rollout_len=64, n_iters=3):
+    """Commander train_iter at the production configuration: the most
+    inference-heavy program (16 embedded sim sub-steps with 6 frozen
+    policy forwards per macro action, SURVEY.md section 3.2).
+    Returns (iters_per_s, SGD-phase model FLOPs per iter, macro rows)."""
+    import jax
+    from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO, HierPPOConfig
+    from hhmarl_2d_tpu.env import config as ECfg
+    from hhmarl_2d_tpu.env import highlevel
+    from hhmarl_2d_tpu.models import policy as P
+
+    cfg = ECfg.make_highlevel_config()
+    team_f = P.LowLevelTeam("fight")
+    team_e = P.LowLevelTeam("escape")
+    bank = highlevel.make_hl_bank(
+        team_f, team_e, team_f.init(jax.random.PRNGKey(0)),
+        team_e.init(jax.random.PRNGKey(1)))
+    ppo = HierPPOConfig(num_envs=num_envs, rollout_len=rollout_len,
+                        seq_len=8, sgd_iters=SGD_ITERS_PROD,
+                        num_minibatches=NUM_MB_PROD)
+    tr = CommanderPPO(cfg, ppo, bank)
+    ts, env_state, obs, h = tr.init(jax.random.PRNGKey(2))
+    ts, env_state, obs, h, m = tr.train_iter(ts, env_state, obs, h,
+                                             jax.random.PRNGKey(3))
+    jax.block_until_ready(m["reward_mean"])
+    t0 = time.time()
+    for i in range(n_iters):
+        ts, env_state, obs, h, m = tr.train_iter(ts, env_state, obs, h,
+                                                 jax.random.PRNGKey(4 + i))
+    jax.block_until_ready(m["reward_mean"])
+    iters_per_s = n_iters / (time.time() - t0)
+
+    macro_rows = num_envs * rollout_len
+    # SGD phase (the model-dominated phase): fwd+bwd over the whole batch
+    # per pass, one commander application per agent row
+    flops_sgd = (SGD_ITERS_PROD * macro_rows * cfg.num_agents * 6
+                 * _n_params(ts.params))
+    return iters_per_s, flops_sgd, macro_rows
+
+
+def bench_phase_split(num_envs=TRAIN_ENVS, n_iters=3):
+    """Rollout-vs-SGD wall split of the production train_iter, measured
+    by compiling the rollout phase standalone and comparing to the full
+    fused iteration (same shapes, same params)."""
+    import jax
+    from functools import partial
+    from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
+    from hhmarl_2d_tpu.env import config as ECfg
+
+    cfg = ECfg.make_lowlevel_config(level=1)
+    ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT, seq_len=16,
+                    sgd_iters=SGD_ITERS_PROD, num_minibatches=NUM_MB_PROD)
+    tr = LowLevelPPO(cfg, ppo)
+    ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
+
+    roll = jax.jit(lambda ts, s, o, k: tr._rollout(ts, s, o, k)[2]["rew"])
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.time()
+        for _ in range(n_iters):
+            out = fn(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        return (time.time() - t0) / n_iters
+
+    t_roll = timed(roll, ts, env_state, obs, jax.random.PRNGKey(1))
+    t_full = timed(lambda *a: tr.train_iter(*a)[3]["reward_mean"],
+                   ts, env_state, obs, jax.random.PRNGKey(1))
+    frac = min(t_roll / t_full, 1.0)
+    return {"rollout_frac": round(frac, 3),
+            "sgd_frac": round(1.0 - frac, 3),
+            "train_iter_ms": round(t_full * 1e3, 1)}
 
 
 def bench_scaling():
@@ -137,7 +278,7 @@ def bench_scaling():
             "import sys; sys.path.insert(0, %r); import bench, json\n"
             "from hhmarl_2d_tpu.utils.platform import ensure_platform\n"
             "ensure_platform()  # the site hook pins the TPU tunnel otherwise\n"
-            "r = bench.bench_train(num_envs=512, n_iters=2, num_devices=%d)\n"
+            "r, _ = bench.bench_train(num_envs=512, n_iters=2, num_devices=%d)\n"
             "print(json.dumps({'iters_per_s': r}))"
             % (os.path.dirname(os.path.abspath(__file__)), n_dev))
         out = subprocess.run([sys.executable, "-c", code], env=env,
@@ -160,7 +301,8 @@ def bench_scaling():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("all", "rollout", "train", "scaling"),
+    ap.add_argument("--mode", choices=("all", "rollout", "train", "hl", "l5",
+                                       "split", "scaling"),
                     default="all")
     args = ap.parse_args()
 
@@ -168,6 +310,7 @@ def main():
         print(json.dumps(bench_scaling()))
         return
 
+    peak = _chip_peak_flops()
     out = {}
     if args.mode in ("all", "rollout"):
         steps_per_s = bench_rollout()
@@ -178,10 +321,10 @@ def main():
             "vs_baseline": round(steps_per_s / BASELINE_PER_CHIP, 3),
         })
     if args.mode in ("all", "train"):
-        iters_per_s = bench_train()
+        iters_per_s, _ = bench_train()
         train_steps = iters_per_s * TRAIN_ENVS * TRAIN_ROLLOUT
-        prod_iters = bench_train(sgd_iters=SGD_ITERS_PROD,
-                                 num_mb=NUM_MB_PROD)
+        prod_iters, prod_flops = bench_train(sgd_iters=SGD_ITERS_PROD,
+                                             num_mb=NUM_MB_PROD)
         extra = {
             "train_iter_per_s": round(iters_per_s, 3),
             "ppo_updates_per_s": round(iters_per_s * SGD_ITERS * NUM_MB, 2),
@@ -193,6 +336,12 @@ def main():
                 prod_iters * SGD_ITERS_PROD * NUM_MB_PROD, 2),
             "train_env_steps_per_s_prod": round(
                 prod_iters * TRAIN_ENVS * TRAIN_ROLLOUT),
+            # analytic-FLOP model MFU of the production train_iter
+            # (model matmuls only; the simulator/env FLOPs ride along
+            # free, so this is a lower bound on chip utilization)
+            "mfu": round(prod_iters * prod_flops / peak, 4),
+            "model_tflops": round(prod_iters * prod_flops / 1e12, 2),
+            "chip_peak_tflops": round(peak / 1e12),
         }
         if args.mode == "train":
             out.update({
@@ -202,6 +351,34 @@ def main():
                 "vs_baseline": round(train_steps / BASELINE_PER_CHIP, 3),
             })
         out.update(extra)
+    if args.mode in ("all", "l5"):
+        l5_iters, l5_flops, l5_rows = bench_train_l5()
+        out.update({
+            "l5_train_iter_per_s": round(l5_iters, 3),
+            "l5_train_env_steps_per_s": round(l5_iters * l5_rows),
+            "mfu_l5": round(l5_iters * l5_flops / peak, 4),
+        })
+        if args.mode == "l5":
+            out.update({"metric": "l5_train_env_steps_per_s",
+                        "value": round(l5_iters * l5_rows),
+                        "unit": "env-steps/s (L5 frozen-bank train_iter)",
+                        "vs_baseline": round(l5_iters * l5_rows
+                                             / BASELINE_PER_CHIP, 3)})
+    if args.mode in ("all", "hl"):
+        hl_iters, hl_flops, hl_rows = bench_train_hl()
+        out.update({
+            "hl_train_iter_per_s": round(hl_iters, 3),
+            "hl_macro_steps_per_s": round(hl_iters * hl_rows),
+            "mfu_hl_sgd": round(hl_iters * hl_flops / peak, 4),
+        })
+        if args.mode == "hl":
+            out.update({"metric": "hl_macro_steps_per_s",
+                        "value": round(hl_iters * hl_rows),
+                        "unit": "commander macro-steps/s (train_iter)",
+                        "vs_baseline": round(hl_iters * hl_rows
+                                             / BASELINE_PER_CHIP, 3)})
+    if args.mode in ("all", "split"):
+        out.update(bench_phase_split())
     print(json.dumps(out))
 
 

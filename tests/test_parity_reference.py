@@ -141,14 +141,20 @@ def assert_aircraft_match(sim, st, tick_i):
 
 
 def assert_missiles_match(sim, st, tick_i):
-    """Compare every shooter's in-flight missile (the reference keeps the
-    stale pointer one tick after removal; existence = unit_exists)."""
+    """Compare every shooter's in-flight missile.
+
+    Rockets are found by their ``source`` id rather than through the
+    owner's ``actual_missile`` pointer: a reference rocket keeps flying
+    (and killing) after its owner aircraft is destroyed
+    (rocket_unit.py:37-73 never checks the source), and the stale-pointer
+    semantics (pointer kept one tick after removal) fall out the same way
+    because removed rockets leave ``active_units``."""
     for i in range(st.n_slots):
         m = None
-        if sim.unit_exists(i + 1):
-            ptr = sim.get_unit(i + 1).actual_missile
-            if ptr is not None and sim.unit_exists(ptr.id):
-                m = ptr
+        for u in list(sim.active_units.values()):
+            if type(u).__name__ == "Rocket" and u.source.id == i + 1:
+                m = u
+                break
         assert (m is not None) == bool(st.m_alive[i]), \
             f"tick {tick_i} slot {i}: missile alive mismatch"
         if m is None:
