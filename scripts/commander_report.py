@@ -32,12 +32,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default="results")
     ap.add_argument("--out", default="artifacts")
+    ap.add_argument("--suffix", default="",
+                    help="Metrics-name suffix for non-default commander "
+                         "spaces (e.g. _3opp for n_opp_hl=3 runs)")
+    ap.add_argument("--report", default="COMMANDER_VS_BASELINE.md")
     args = ap.parse_args()
 
-    cmd_dir = os.path.join(args.results, "EVAL_Commander_3-vs-3")
-    base_dir = os.path.join(args.results, "EVAL_Low-Level_3-vs-3")
-    cmd = load(os.path.join(cmd_dir, "Metrics_Commander_3-vs-3.json"))
-    base = load(os.path.join(base_dir, "Metrics_Low-Level_3-vs-3.json"))
+    s = args.suffix
+    cmd_dir = os.path.join(args.results, f"EVAL_Commander_3-vs-3{s}")
+    base_dir = os.path.join(args.results, f"EVAL_Low-Level_3-vs-3{s}")
+    cmd = load(os.path.join(cmd_dir, f"Metrics_Commander_3-vs-3{s}.json"))
+    base = load(os.path.join(base_dir, f"Metrics_Low-Level_3-vs-3{s}.json"))
 
     md = [
         "# Commander vs fixed-closest-opponent baseline",
@@ -60,8 +65,8 @@ def main():
         "",
     ]
 
-    fair = os.path.join(args.results, "EVAL_Low-Level_3-vs-3_L5opp",
-                        "Metrics_Low-Level_3-vs-3.json")
+    fair = os.path.join(args.results, f"EVAL_Low-Level_3-vs-3{s}_L5opp",
+                        f"Metrics_Low-Level_3-vs-3{s}.json")
     if os.path.exists(fair):
         fv = load(fair)
         md += [
@@ -89,8 +94,8 @@ def main():
             "",
         ]
 
-    sweep_c = os.path.join(cmd_dir, "Metrics_Commander_3-vs-3_sweep.json")
-    sweep_b = os.path.join(base_dir, "Metrics_Low-Level_3-vs-3_sweep.json")
+    sweep_c = os.path.join(cmd_dir, f"Metrics_Commander_3-vs-3{s}_sweep.json")
+    sweep_b = os.path.join(base_dir, f"Metrics_Low-Level_3-vs-3{s}_sweep.json")
     if os.path.exists(sweep_c) and os.path.exists(sweep_b):
         sc, sb = load(sweep_c), load(sweep_b)
         md += [
@@ -111,7 +116,7 @@ def main():
                 f" | {c['win'] - b['win']:+.1f} |")
         md.append("")
 
-    out = os.path.join(args.out, "COMMANDER_VS_BASELINE.md")
+    out = os.path.join(args.out, args.report)
     os.makedirs(args.out, exist_ok=True)
     with open(out, "w") as f:
         f.write("\n".join(md))

@@ -49,3 +49,24 @@ def test_restore_chaining_and_escape_promotion(tmp_path):
     e5 = ARGS.parse(0, ["--log_base", base, "--agent_mode", "escape"])
     assert e5.level == 5 and e5.restore
     assert e5.horizon == 400  # level-5 horizon table
+
+
+def test_find_free_port_skips_bound_port():
+    """The reference's incrementing TensorBoard port scan
+    (train_hetero.py:264-272) equivalent."""
+    import socket
+
+    from hhmarl_2d_tpu.utils.metrics import find_free_port
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        taken = s.getsockname()[1]
+        port = find_free_port(taken)
+        assert port != taken and port > taken
+
+
+def test_tensorboard_flag_parses():
+    a = ARGS.parse(0, ["--tensorboard", "--epochs", "1"])
+    assert a.tensorboard
+    a = ARGS.parse(0, ["--epochs", "1"])
+    assert not a.tensorboard
