@@ -35,6 +35,7 @@ STAGE_ORDER = [
     "L1_fight_2-vs-2", "L2_fight_2-vs-2", "L3_fight_2-vs-2",
     "L3_escape_2-vs-2", "L5_escape_2-vs-2",
     "L4_fight_2-vs-2", "L5_fight_2-vs-2", "Commander_3_vs_3",
+    "Commander_3_vs_3_3opp",
 ]
 
 
@@ -59,12 +60,25 @@ def _style_axis(ax):
     ax.set_axisbelow(True)
 
 
+def monotonic_steps(rows):
+    """Cumulative iteration axis across restarts: a restored run's loop
+    epochs restart at 0, so stitch the segments end-to-end."""
+    steps, offset, prev = [], 0, None
+    for r in rows:
+        s = r["step"]
+        if prev is not None and s < prev:
+            offset += prev
+        steps.append(offset + s)
+        prev = s
+    return steps
+
+
 def plot_curves(stages, out_png):
     n = len(stages)
     fig, axes = plt.subplots(2, n, figsize=(3.1 * n, 5.2), squeeze=False)
     fig.patch.set_facecolor(SURFACE)
     for col, (name, rows) in enumerate(stages):
-        steps = [r["step"] for r in rows]
+        steps = monotonic_steps(rows)
         rew = [r["reward_mean"] for r in rows]
         eps = [max(r.get("episodes", 0), 1e-9) for r in rows]
         win = [100 * r.get("agents_win", 0) / e for r, e in zip(rows, eps)]
@@ -108,7 +122,7 @@ def summarize(stages):
             return 100 * sum(r.get(key, 0) for r in rs) / sum(eps)
         head, tail = rows[:k], rows[-k:]
         lines.append(
-            f"| {name} | {rows[-1]['step']} "
+            f"| {name} | {monotonic_steps(rows)[-1]} "
             f"| {avg('reward_mean', head):.3f} → {avg('reward_mean', tail):.3f} "
             f"| {avg('agents_win', head):.1f} → {avg('agents_win', tail):.1f} "
             f"| {avg('opps_win', tail):.1f} | {avg('draw', tail):.1f} |")
@@ -142,10 +156,20 @@ def main():
     evals = glob.glob(os.path.join(args.results, "EVAL_*", "Metrics_*.json"))
     if evals:
         md += "\n## Evaluation\n\n"
+        seen = {}
         for p in sorted(evals):
-            shutil.copy(p, os.path.join(args.out, os.path.basename(p)))
+            name = os.path.basename(p)
+            if name in seen:
+                # two EVAL dirs can emit the same metrics basename (e.g.
+                # the fair same-L5-opponents baseline re-run); carry the
+                # dir's distinguishing suffix into the copy name
+                tag = os.path.basename(os.path.dirname(p)).replace(
+                    "EVAL_", "")
+                name = name[:-5] + "." + tag + ".json"
+            seen[name] = p
+            shutil.copy(p, os.path.join(args.out, name))
             with open(p) as f:
-                md += f"`{os.path.basename(p)}`: `{f.read().strip()}`\n\n"
+                md += f"`{name}`: `{f.read().strip()}`\n\n"
 
     with open(os.path.join(args.out, "TRAINING.md"), "w") as f:
         f.write(md)
