@@ -58,6 +58,10 @@ class PPOConfig:
     entropy_coeff: float = 0.0
     sgd_iters: int = 8           # passes over the batch per iteration
     num_minibatches: int = 32    # minibatches per pass (see cli/args.py)
+    # k-team advantage standardization: "slot" (per slot column -- the
+    # empirical default, see _make_batch) or "type" (per aircraft type,
+    # RLlib per-policy semantics)
+    adv_std: str = "slot"
 
 
 @struct.dataclass
@@ -164,11 +168,16 @@ class LowLevelPPO:
             traj["rew"], traj["values"],
             traj["done"][..., None].astype(jnp.float32),
             last_values, self.ppo.gamma, self.ppo.lam)
-        if self.gen:
-            # per-policy standardization (RLlib standardizes advantages
-            # within each policy's batch): in k-teams, slots >= 2 hold a
-            # per-episode random AC1/AC2 mix, so slot columns are NOT
-            # policies -- standardize over the per-type masks instead
+        if self.gen and self.ppo.adv_std == "type":
+            # per-aircraft-type standardization (RLlib's per-policy
+            # semantics: slots >= 2 hold a per-episode random AC1/AC2
+            # mix, so slot columns are not policies).  MEASURED to train
+            # markedly worse on the 3v3 stage than the per-slot default
+            # -- A/B at 400 iters, 256 envs: per-type 19% win, per-slot
+            # 50% win, per-(slot,type) groups 7% (passive-draw collapse).
+            # Removing each SLOT's mean is a positional baseline the
+            # learner evidently needs; kept selectable for semantics
+            # comparisons.
             ac1 = traj["ac1"]
 
             def masked_standardize(a, m):
@@ -181,7 +190,8 @@ class LowLevelPPO:
             adv = jnp.where(ac1, masked_standardize(adv, m1),
                             masked_standardize(adv, 1.0 - m1))
         else:
-            # fixed slot0=AC1/slot1=AC2 mapping: per-slot IS per-policy
+            # per slot column; in the fixed slot0=AC1/slot1=AC2 2-vs-2
+            # mapping this IS per-policy (train_hetero.py:240)
             adv = (adv - adv.mean(axis=(0, 1))) / (adv.std(axis=(0, 1)) + 1e-8)
 
         B = traj["rew"].shape[1]

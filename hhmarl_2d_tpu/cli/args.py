@@ -116,6 +116,12 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     # Our per-iteration batches are 30x larger, so matching its *per-sample*
     # update intensity needs many more minibatch updates per batch than the
     # round-2 defaults (4x8) delivered.
+    p.add_argument("--adv_std", type=str, default="slot",
+                   choices=("slot", "type"),
+                   help="k-team advantage standardization: per slot "
+                        "column (empirical default) or per aircraft type "
+                        "(RLlib per-policy semantics; measured weaker -- "
+                        "see algo/ppo.py)")
     p.add_argument("--sgd_iters", type=int, default=8)
     p.add_argument("--num_minibatches", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)

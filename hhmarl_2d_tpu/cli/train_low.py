@@ -69,7 +69,7 @@ def main(argv=None):
     if args.distributed:
         M.setup_distributed()
     cfg = ARGS.to_env_config(args, 0)
-    ppo = PPOConfig(**ARGS.ppo_kwargs(args))
+    ppo = PPOConfig(adv_std=args.adv_std, **ARGS.ppo_kwargs(args))
 
     # rollout data-parallelism (SURVEY.md section 2 #20-21): env batch
     # sharded over the data mesh, learner replicated, gradient psum by XLA
