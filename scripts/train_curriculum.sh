@@ -22,14 +22,23 @@ python -m hhmarl_2d_tpu.cli.train_low --level 3 --epochs "$E" $ARGS
 python -m hhmarl_2d_tpu.cli.train_low --agent_mode escape --epochs 800 $ARGS
 python -m hhmarl_2d_tpu.cli.train_low --level 4 --epochs "$E" $ARGS
 python -m hhmarl_2d_tpu.cli.train_low --level 5 --epochs 1200 $ARGS
-python -m hhmarl_2d_tpu.cli.train_high --epochs "${EH:-1500}" --num_envs 256 \
+# second escape pass: auto-promotes to L5 vs the frozen L5 fight bank
+# (config.py:86-92); exports the L5 escape policies the commander uses
+python -m hhmarl_2d_tpu.cli.train_low --agent_mode escape --epochs 800 $ARGS
+# commander with the full 3-target action space (README.md:76-77)
+python -m hhmarl_2d_tpu.cli.train_high --epochs "${EH:-3000}" --n_opp_hl 3 \
+    --log_name Commander_3_vs_3_3opp --num_envs 256 \
     --rollout_len 64 --checkpoint_every 100 --render_every 500
 # paired evaluation: commander vs fixed-closest-opponent baseline
 # (eval_chunk 500 everywhere so the sweeps below reuse the same compiled
 # chunk program -- the fight ratio is a traced input, not a static config)
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 500
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 500 --no-eval_hl
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 500 \
+    --n_opp_hl 3 --log_name Commander_3_vs_3_3opp
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 1000 --eval_chunk 500 \
+    --n_opp_hl 3 --no-eval_hl
 # opponent-mix sweep (hier_opp_fight_ratio in {0,25,50,75,100})
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 --sweep_fight_ratio
-python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 --sweep_fight_ratio --no-eval_hl
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 \
+    --n_opp_hl 3 --log_name Commander_3_vs_3_3opp --sweep_fight_ratio
+python -m hhmarl_2d_tpu.cli.evaluate --n_evals 500 --eval_chunk 500 \
+    --n_opp_hl 3 --no-eval_hl --sweep_fight_ratio
 echo "CURRICULUM COMPLETE"
