@@ -62,6 +62,14 @@ class PPOConfig:
     # empirical default, see _make_batch) or "type" (per aircraft type,
     # RLlib per-policy semantics)
     adv_std: str = "slot"
+    # k-team only: exclude dead agents' zero-padded rows from advantage
+    # standardization and the loss (the reference trains on those rows --
+    # RLlib receives the zero-padded dict entries -- so the parity-exact
+    # 2-vs-2 path never masks).  MEASURED worse on the 3v3 stage (A/B at
+    # 400 iters, 256 envs: masked 23 wins/iter vs unmasked 92-105, with
+    # destabilized KL ~0.03 vs ~0.01); the padded rows evidently act as
+    # stabilizing sample mass.  Kept selectable (--mask_dead).
+    mask_dead: bool = False
 
 
 @struct.dataclass
@@ -83,6 +91,7 @@ class Batch:
     seg: jnp.ndarray       # [N, L] episode segment ids
     ac1: jnp.ndarray       # [N, L, k] bool: slot type == AC1 (k-team path)
     mate: jnp.ndarray      # [N, L, k] i32: CTDE teammate slot (-1 = none)
+    alive: jnp.ndarray     # [N, L, k] bool: agent alive at obs time
 
 
 class LowLevelPPO:
@@ -145,7 +154,8 @@ class LowLevelPPO:
             out = dict(obs=obs, actions=actions, logp=logp, values=values,
                        logits=logits,
                        ac1=env_state.sim.ac_type[:, :na] == 1,
-                       mate=env_state.tmate)
+                       mate=env_state.tmate,
+                       alive=env_state.sim.alive[:, :na])
             env_keys = jax.random.split(k_env, self.ppo.num_envs)
             env_state, next_obs, rew, done, info = jax.vmap(
                 lambda s, a, kk: lowlevel.step(self.cfg, s, a, kk,
@@ -189,6 +199,15 @@ class LowLevelPPO:
             m1 = ac1.astype(jnp.float32)
             adv = jnp.where(ac1, masked_standardize(adv, m1),
                             masked_standardize(adv, 1.0 - m1))
+        elif self.gen and self.ppo.mask_dead:
+            # per slot column over ALIVE rows only: dead agents' rows are
+            # zero-obs/zero-reward padding that otherwise shifts the slot
+            # statistics
+            m = traj["alive"].astype(jnp.float32)
+            n = jnp.maximum(m.sum(axis=(0, 1)), 1.0)
+            mu = (adv * m).sum(axis=(0, 1)) / n
+            var = (((adv - mu) ** 2) * m).sum(axis=(0, 1)) / n
+            adv = (adv - mu) / (jnp.sqrt(var) + 1e-8)
         else:
             # per slot column; in the fixed slot0=AC1/slot1=AC2 2-vs-2
             # mapping this IS per-policy (train_hetero.py:240)
@@ -209,7 +228,8 @@ class LowLevelPPO:
                      logp=to_seqs(traj["logp"]), logits=to_seqs(traj["logits"]),
                      adv=to_seqs(adv), targets=to_seqs(targets),
                      seg=seg.reshape(n_seqs, L),
-                     ac1=to_seqs(traj["ac1"]), mate=to_seqs(traj["mate"]))
+                     ac1=to_seqs(traj["ac1"]), mate=to_seqs(traj["mate"]),
+                     alive=to_seqs(traj["alive"]))
 
     # --- loss --------------------------------------------------------------
 
@@ -282,6 +302,10 @@ class LowLevelPPO:
         metrics = {}
         masks = {1: batch.ac1.astype(jnp.float32),
                  2: (~batch.ac1).astype(jnp.float32)}
+        if self.ppo.mask_dead:
+            # dead agents' zero-padded rows carry no learnable signal
+            alive = batch.alive.astype(jnp.float32)
+            masks = {t: m * alive for t, m in masks.items()}
         for t in (1, 2):
             m = masks[t]
             pol_loss = -masked_mean(surr, m)

@@ -122,6 +122,10 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
                         "column (empirical default) or per aircraft type "
                         "(RLlib per-policy semantics; measured weaker -- "
                         "see algo/ppo.py)")
+    p.add_argument("--mask_dead", action=bool_flag, default=False,
+                   help="k-team only: exclude dead agents' zero-padded "
+                        "rows from advantage standardization and the loss "
+                        "(the 2-vs-2 parity path never masks)")
     p.add_argument("--sgd_iters", type=int, default=8)
     p.add_argument("--num_minibatches", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)

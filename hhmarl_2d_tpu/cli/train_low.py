@@ -69,7 +69,8 @@ def main(argv=None):
     if args.distributed:
         M.setup_distributed()
     cfg = ARGS.to_env_config(args, 0)
-    ppo = PPOConfig(adv_std=args.adv_std, **ARGS.ppo_kwargs(args))
+    ppo = PPOConfig(adv_std=args.adv_std, mask_dead=args.mask_dead,
+                    **ARGS.ppo_kwargs(args))
 
     # rollout data-parallelism (SURVEY.md section 2 #20-21): env batch
     # sharded over the data mesh, learner replicated, gradient psum by XLA
@@ -137,7 +138,11 @@ def main(argv=None):
             # counter, not the loop epoch: a restored run's epochs restart
             # at 0 and orbax silently skips saves to an existing step
             CKPT.save_train_state(ckpt_dir, int(ts.update_i), ts)
-            if args.level >= 3:
+            if args.level >= 3 and args.num_agents == 2:
+                # the L{level}_AC{i}_{mode} policy store feeds the 2-vs-2
+                # self-play chain and the commander bank; an n-vs-m run
+                # exporting under the same names would silently replace
+                # the curriculum's frozen opponents
                 CKPT.export_policy(args.policy_dir, args.level,
                                    args.agent_mode, ts.params)
             if args.eval and epoch % args.render_every == 0:
