@@ -43,6 +43,13 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
                         "README.md:68-69)")
     p.add_argument("--restore", action=bool_flag, default=False)
     p.add_argument("--restore_path", type=str, default=None)
+    p.add_argument("--restore_step", type=int, default=None,
+                   help="Pin the checkpoint step to restore (default: "
+                        "latest).  Evaluation headlines must cite this so "
+                        "committed numbers are regenerable from the repo.")
+    p.add_argument("--policy_dir", type=str, default=None,
+                   help="Frozen-policy store root (default <repo>/policies; "
+                        "committed evaluations use deploy/policies)")
     p.add_argument("--log_name", type=str, default=None)
     p.add_argument("--log_base", type=str, default=None,
                    help="Results root (default <repo>/results)")
@@ -75,6 +82,12 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--sweep_fight_ratio", action=bool_flag, default=False,
                    help="Evaluate across hier_opp_fight_ratio in "
                         "{0,25,50,75,100} and write a sweep table")
+    p.add_argument("--eval_tag", type=str, default="",
+                   help="Suffix appended to the EVAL config name so "
+                        "baseline variants and render runs write their own "
+                        "Metrics_* files instead of clobbering the main "
+                        "eval's (the round-4 5-vs-5 headline artifact was "
+                        "overwritten by a 2-episode render run this way)")
 
     # TPU scale knobs (replace --num_workers/--gpu)
     p.add_argument("--num_devices", type=int, default=0,
@@ -140,7 +153,7 @@ def finalize(args, mode: int):
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     args.log_base = args.log_base or os.path.join(repo_root, "results")
-    args.policy_dir = os.path.join(repo_root, "policies")
+    args.policy_dir = args.policy_dir or os.path.join(repo_root, "policies")
 
     if mode == 0:
         # escape auto-promotion (config.py:86-92)

@@ -41,19 +41,47 @@ def main(argv=None):
         # N_OPPS_HL=3 setup of /root/reference/README.md:76-77) from
         # overwriting the default config's metrics files
         config += f"_{cfg.n_opp_hl}opp"
+    if args.eval_tag:
+        config += f"_{args.eval_tag}"
     eval_log = os.path.join(args.log_base, "EVAL_" + config)
     os.makedirs(eval_log, exist_ok=True)
     eval_file = os.path.join(eval_log, f"Metrics_{config}.json")
 
     model = CommanderGru(n_opp=cfg.n_opp_hl, num_agents=cfg.num_agents)
     params = None
+    check = step = None
     if args.eval_hl:
         trainer = CommanderPPO(cfg, HierPPOConfig(num_envs=1), bank)
         ts, _, _, _ = trainer.init(jax.random.PRNGKey(0))
-        check = os.path.join(args.log_base, args.log_name or MODEL_NAME,
-                             "checkpoint")
-        ts = CKPT.restore_train_state(check, ts)
+        check = args.restore_path or os.path.join(
+            args.log_base, args.log_name or MODEL_NAME, "checkpoint")
+        step = args.restore_step
+        if step is None:
+            step = CKPT.latest_step(check)
+        ts = CKPT.restore_train_state(check, ts, step=step)
+        print(f"commander restored from {check} @ step {step}", flush=True)
         params = ts.params
+
+    # provenance sidecar: everything needed to regenerate this file from
+    # the repo (the Metrics_* schema itself stays reference-exact,
+    # evaluation.py:66-82)
+    provenance = {
+        "n_evals": args.n_evals, "seed": args.seed,
+        "hier_opp_fight_ratio": args.hier_opp_fight_ratio,
+        "eval_hl": args.eval_hl, "num_agents": args.num_agents,
+        "num_opps": args.num_opps, "n_opp_hl": cfg.n_opp_hl,
+        "eval_level_ag": args.eval_level_ag,
+        "eval_level_opp": args.eval_level_opp,
+        "policy_dir": args.policy_dir,
+        "commander_checkpoint": check, "commander_step": step,
+        "bank": bank.get("_meta", {}),
+    }
+
+    def write_provenance(suffix=""):
+        import json
+        p = os.path.join(eval_log, f"Metrics_{config}{suffix}_provenance.json")
+        with open(p, "w") as f:
+            json.dump(provenance, f, indent=3)
 
     if args.sweep_fight_ratio:
         table = harness.sweep_fight_ratio(
@@ -64,6 +92,7 @@ def main(argv=None):
         with open(sweep_file, "w") as f:
             import json
             json.dump(table, f, indent=3)
+        write_provenance("_sweep")
         print("------FIGHT-RATIO SWEEP:")
         for r, ev in table.items():
             print(f"ratio {r}: win {ev['win']:.1f} lose {ev['lose']:.1f} "
@@ -78,6 +107,7 @@ def main(argv=None):
         chunk_size=args.eval_chunk)
     print("------RESULTS:")
     evals = harness.postprocess_eval(stats, args.n_evals, eval_file)
+    write_provenance()
     for k, v in evals.items():
         print(f"{k}: {round(v, 2)}")
     print(f"episodes finished within the macro-step bound: "

@@ -36,16 +36,31 @@ def build_hl_bank(args):
     root = args.policy_dir
 
     fight = CKPT.load_policy(root, args.eval_level_ag, "fight", f_tmpl)
+    # a *missing* L5 escape store falls back to L3 (the reference trains
+    # escape at L3 first, config.py:86-92); any other failure -- e.g. a
+    # corrupted store -- must fail loudly, not silently swap in the much
+    # weaker L3 escape policy and shift every commander number
     try:
         esc = CKPT.load_policy(root, 5, "escape", e_tmpl)
-    except Exception:
+        esc_level = 5
+    except FileNotFoundError:
         esc = CKPT.load_policy(root, 3, "escape", e_tmpl)
+        esc_level = 3
 
+    fight_opp_level = args.eval_level_ag
     fight_opp = fight
     if not args.eval_hl:
-        fight_opp = CKPT.load_policy(root, args.eval_level_opp, "fight",
-                                     f_tmpl)
-    return highlevel.make_hl_bank(team_f, team_e, fight, esc, fight_opp)
+        fight_opp_level = args.eval_level_opp
+        fight_opp = CKPT.load_policy(root, fight_opp_level, "fight", f_tmpl)
+    print(f"frozen bank [{root}]: agents fight L{args.eval_level_ag} / "
+          f"escape L{esc_level}, opponents fight L{fight_opp_level}",
+          flush=True)
+    bank = highlevel.make_hl_bank(team_f, team_e, fight, esc, fight_opp)
+    bank["_meta"] = {"policy_dir": root,
+                     "fight_level": args.eval_level_ag,
+                     "escape_level": esc_level,
+                     "fight_level_opp": fight_opp_level}
+    return bank
 
 
 def main(argv=None):

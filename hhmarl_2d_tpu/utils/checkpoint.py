@@ -31,6 +31,11 @@ def save_train_state(path: str, step: int, state: Any):
     mngr.wait_until_finished()
 
 
+def latest_step(path: str) -> Optional[int]:
+    """Latest saved step under ``path`` (None if no checkpoint exists)."""
+    return _mngr(path).latest_step()
+
+
 def restore_train_state(path: str, template: Any,
                         step: Optional[int] = None) -> Any:
     """Restore the latest (or given) step into the template's structure."""
