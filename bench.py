@@ -89,8 +89,11 @@ def bench_rollout():
 
 
 def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None,
-                sgd_iters=SGD_ITERS, num_mb=NUM_MB):
-    """Full train_iter (rollout + GAE + SGD) iterations per second."""
+                sgd_iters=SGD_ITERS, num_mb=NUM_MB, dtype="bf16"):
+    """Full train_iter (rollout + GAE + SGD) iterations per second.
+
+    ``dtype``: model computation dtype -- "bf16" is the production CLI
+    default (cli/args.py --compute_dtype; params/optimizer fp32)."""
     import jax
     from hhmarl_2d_tpu.algo.ppo import LowLevelPPO, PPOConfig
     from hhmarl_2d_tpu.env import config as ECfg
@@ -98,7 +101,8 @@ def bench_train(num_envs=TRAIN_ENVS, n_iters=4, num_devices=None,
 
     cfg = ECfg.make_lowlevel_config(level=1)
     ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT,
-                    seq_len=16, sgd_iters=sgd_iters, num_minibatches=num_mb)
+                    seq_len=16, sgd_iters=sgd_iters, num_minibatches=num_mb,
+                    compute_dtype=dtype)
     mesh = M.make_mesh(num_devices)
     tr = LowLevelPPO(cfg, ppo, mesh=mesh)
     ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
@@ -154,11 +158,13 @@ def bench_train_l5(num_envs=1024, n_iters=3):
     from hhmarl_2d_tpu.models import policy as P
     from hhmarl_2d_tpu.utils import checkpoint as CKPT
 
+    import jax.numpy as jnp
     cfg = ECfg.make_lowlevel_config(level=5)
     ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT, seq_len=16,
-                    sgd_iters=SGD_ITERS_PROD, num_minibatches=NUM_MB_PROD)
-    team_f = P.LowLevelTeam("fight")
-    team_e = P.LowLevelTeam("escape")
+                    sgd_iters=SGD_ITERS_PROD, num_minibatches=NUM_MB_PROD,
+                    compute_dtype="bf16")
+    team_f = P.LowLevelTeam("fight", dtype=jnp.bfloat16)
+    team_e = P.LowLevelTeam("escape", dtype=jnp.bfloat16)
     f = team_f.init(jax.random.PRNGKey(0))
     e = team_e.init(jax.random.PRNGKey(1))
     bank = {"fight": CKPT.stack_fight_bank([f, f, f]), "escape": e}
@@ -194,15 +200,16 @@ def bench_train_hl(num_envs=256, rollout_len=64, n_iters=3):
     from hhmarl_2d_tpu.env import highlevel
     from hhmarl_2d_tpu.models import policy as P
 
+    import jax.numpy as jnp
     cfg = ECfg.make_highlevel_config()
-    team_f = P.LowLevelTeam("fight")
-    team_e = P.LowLevelTeam("escape")
+    team_f = P.LowLevelTeam("fight", dtype=jnp.bfloat16)
+    team_e = P.LowLevelTeam("escape", dtype=jnp.bfloat16)
     bank = highlevel.make_hl_bank(
         team_f, team_e, team_f.init(jax.random.PRNGKey(0)),
         team_e.init(jax.random.PRNGKey(1)))
     ppo = HierPPOConfig(num_envs=num_envs, rollout_len=rollout_len,
                         seq_len=8, sgd_iters=SGD_ITERS_PROD,
-                        num_minibatches=NUM_MB_PROD)
+                        num_minibatches=NUM_MB_PROD, compute_dtype="bf16")
     tr = CommanderPPO(cfg, ppo, bank)
     ts, env_state, obs, h = tr.init(jax.random.PRNGKey(2))
     ts, env_state, obs, h, m = tr.train_iter(ts, env_state, obs, h,
@@ -234,7 +241,8 @@ def bench_phase_split(num_envs=TRAIN_ENVS, n_iters=3):
 
     cfg = ECfg.make_lowlevel_config(level=1)
     ppo = PPOConfig(num_envs=num_envs, rollout_len=TRAIN_ROLLOUT, seq_len=16,
-                    sgd_iters=SGD_ITERS_PROD, num_minibatches=NUM_MB_PROD)
+                    sgd_iters=SGD_ITERS_PROD, num_minibatches=NUM_MB_PROD,
+                    compute_dtype="bf16")
     tr = LowLevelPPO(cfg, ppo)
     ts, env_state, obs = tr.init(jax.random.PRNGKey(0))
 
@@ -327,10 +335,13 @@ def main():
             "vs_baseline": round(steps_per_s / BASELINE_PER_CHIP, 3),
         })
     if args.mode in ("all", "train"):
-        iters_per_s, _ = bench_train()
+        # round-2-comparable point stays fp32 (it was benched fp32 then)
+        iters_per_s, _ = bench_train(dtype="fp32")
         train_steps = iters_per_s * TRAIN_ENVS * TRAIN_ROLLOUT
         prod_iters, prod_flops = bench_train(sgd_iters=SGD_ITERS_PROD,
                                              num_mb=NUM_MB_PROD)
+        prod_iters_fp32, _ = bench_train(sgd_iters=SGD_ITERS_PROD,
+                                         num_mb=NUM_MB_PROD, dtype="fp32")
         extra = {
             "train_iter_per_s": round(iters_per_s, 3),
             "ppo_updates_per_s": round(iters_per_s * SGD_ITERS * NUM_MB, 2),
@@ -344,8 +355,13 @@ def main():
                 prod_iters * TRAIN_ENVS * TRAIN_ROLLOUT),
             # analytic-FLOP model MFU of the production train_iter
             # (model matmuls only; the simulator/env FLOPs ride along
-            # free, so this is a lower bound on chip utilization)
+            # free, so this is a lower bound on chip utilization).
+            # Production runs bf16 compute (fp32 params/optimizer, the
+            # cli/args.py default); the _fp32 point is the same program
+            # with fp32 matmuls for comparison.
             "mfu": round(prod_iters * prod_flops / peak, 4),
+            "mfu_fp32": round(prod_iters_fp32 * prod_flops / peak, 4),
+            "train_iter_per_s_prod_fp32": round(prod_iters_fp32, 3),
             "model_tflops": round(prod_iters * prod_flops / 1e12, 2),
             "chip_peak_tflops": round(peak / 1e12),
         }

@@ -41,12 +41,19 @@ def mode(logits, nvec):
 
 
 def log_prob(logits, nvec, actions):
-    """Sum of per-component categorical log-probs."""
+    """Sum of per-component categorical log-probs.
+
+    The selected-entry pick is a one-hot multiply-reduce, NOT
+    ``take_along_axis``: a minor-axis dynamic gather compiles to a
+    serialized kCustom fusion on TPU that was measured at 37% of the whole
+    PPO SGD step (7 gathers x 0.2 ms on a [16384, 13] array each, vs
+    ~microseconds for the vectorized select-sum).
+    """
     lp = 0.0
     for i, (s, n) in enumerate(_segments(nvec)):
         logp = jax.nn.log_softmax(logits[..., s:s + n])
-        lp = lp + jnp.take_along_axis(
-            logp, actions[..., i:i + 1], axis=-1)[..., 0]
+        onehot = actions[..., i:i + 1] == jnp.arange(n, dtype=actions.dtype)
+        lp = lp + jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     return lp
 
 

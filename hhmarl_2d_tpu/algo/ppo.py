@@ -40,6 +40,11 @@ from hhmarl_2d_tpu.models import policy as P
 _ACT_NORM = np.asarray([12.0, 8.0, 1.0, 1.0], np.float32)
 
 
+def compute_dtype(name: str):
+    """"fp32" -> None (flax default), "bf16" -> jnp.bfloat16."""
+    return {"fp32": None, "bf16": jnp.bfloat16}[name]
+
+
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
     """Hyperparameters (reference values: train_hetero.py:216, config.py)."""
@@ -70,6 +75,11 @@ class PPOConfig:
     # destabilized KL ~0.03 vs ~0.01); the padded rows evidently act as
     # stabilizing sample mass.  Kept selectable (--mask_dead).
     mask_dead: bool = False
+    # model computation dtype: "fp32" or "bf16" (params/optimizer/loss
+    # stay fp32 -- see models/layers.py).  The CLI trainers default to
+    # bf16 (the v5e MXU's native path); the config default stays fp32 so
+    # parity tests and CPU test runs are exact.
+    compute_dtype: str = "fp32"
 
 
 @struct.dataclass
@@ -108,12 +118,18 @@ class LowLevelPPO:
                  mesh=None):
         self.cfg = cfg_env
         self.ppo = ppo
-        self.team = team or P.LowLevelTeam(cfg_env.agent_mode,
-                                           cfg_env.num_agents)
+        self.team = team or P.LowLevelTeam(
+            cfg_env.agent_mode, cfg_env.num_agents,
+            dtype=compute_dtype(ppo.compute_dtype))
         self.opp_actor = opp_actor
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
             else None
-        self.tx = optax.adam(ppo.lr)
+        # flatten: adam runs on ONE concatenated vector instead of ~50
+        # small per-leaf fusions per minibatch update -- measured +13%
+        # whole-train_iter at the production 8x32 SGD intensity (the
+        # optimizer executes 256x per iteration).  Old-format checkpoints
+        # (per-leaf adam state) restore params-only (utils/checkpoint.py).
+        self.tx = optax.flatten(optax.adam(ppo.lr))
         assert ppo.rollout_len % ppo.seq_len == 0
         # k != 2 teams use the generalized mixed-type paths (forward_k);
         # the reference's fixed slot0=AC1/slot1=AC2 mapping keeps the
@@ -197,8 +213,15 @@ class LowLevelPPO:
                 return (a - mu) / (jnp.sqrt(var) + 1e-8)
 
             m1 = ac1.astype(jnp.float32)
+            m2 = 1.0 - m1
+            if self.ppo.mask_dead:
+                # --mask_dead composes with type-mode standardization too:
+                # dead agents' zero-padded rows are excluded from the
+                # per-type statistics exactly as the help text promises
+                alive = traj["alive"].astype(jnp.float32)
+                m1, m2 = m1 * alive, m2 * alive
             adv = jnp.where(ac1, masked_standardize(adv, m1),
-                            masked_standardize(adv, 1.0 - m1))
+                            masked_standardize(adv, m2))
         elif self.gen and self.ppo.mask_dead:
             # per slot column over ALIVE rows only: dead agents' rows are
             # zero-obs/zero-reward padding that otherwise shifts the slot

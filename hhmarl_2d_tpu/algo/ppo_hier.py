@@ -47,6 +47,7 @@ class HierPPOConfig:
     entropy_coeff: float = 0.01  # resists the fight-closest collapse
     sgd_iters: int = 8
     num_minibatches: int = 32    # see cli/args.py on update intensity
+    compute_dtype: str = "fp32"  # "bf16" = MXU fast path (algo/ppo.py)
 
 
 @struct.dataclass
@@ -72,11 +73,14 @@ class CommanderPPO:
         self.bank = bank
         self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
             else None
+        from hhmarl_2d_tpu.algo.ppo import compute_dtype
         self.na = cfg_env.num_agents
         self.model = CommanderGru(n_opp=cfg_env.n_opp_hl,
-                                  num_agents=self.na)
+                                  num_agents=self.na,
+                                  dtype=compute_dtype(ppo.compute_dtype))
         self.nvec = (cfg_env.act_dim_hl,)
-        self.tx = optax.adam(ppo.lr)
+        # single-vector adam (see algo/ppo.py on optax.flatten)
+        self.tx = optax.flatten(optax.adam(ppo.lr))
         assert ppo.rollout_len % ppo.seq_len == 0
 
     def init(self, key):

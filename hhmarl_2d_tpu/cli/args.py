@@ -139,6 +139,15 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
                    help="k-team only: exclude dead agents' zero-padded "
                         "rows from advantage standardization and the loss "
                         "(the 2-vs-2 parity path never masks)")
+    p.add_argument("--compute_dtype", type=str,
+                   default="bf16" if mode in (0, 1) else "fp32",
+                   choices=("fp32", "bf16"),
+                   help="Model computation dtype (params/optimizer/loss "
+                        "always fp32).  bf16 is the TPU MXU's native path "
+                        "(training default; A/B-validated, see "
+                        "artifacts/BF16_AB.md); evaluation defaults to "
+                        "fp32 so committed metrics are exactly "
+                        "reproducible")
     p.add_argument("--sgd_iters", type=int, default=8)
     p.add_argument("--num_minibatches", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -207,7 +216,8 @@ def ppo_kwargs(args) -> dict:
                 gamma=args.gamma, lam=args.gae_lambda, clip=args.clip,
                 kl_target=args.kl_target, kl_coeff_init=args.kl_coeff,
                 vf_clip=args.vf_clip, vf_coeff=args.vf_coeff,
-                entropy_coeff=args.entropy_coeff)
+                entropy_coeff=args.entropy_coeff,
+                compute_dtype=args.compute_dtype)
 
 
 def to_env_config(args, mode: int) -> ECfg.EnvConfig:

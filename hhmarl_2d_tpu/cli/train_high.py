@@ -26,11 +26,16 @@ from hhmarl_2d_tpu.utils.metrics import MetricsLogger, Profiler
 from hhmarl_2d_tpu.utils.resilience import with_retries
 
 
-def build_hl_bank(args):
+def build_hl_bank(args, dtype=None):
     """_get_policies("HighLevel") (env_base.py:332-346): agents use
-    L{eval_level_ag} fight and L5 (or L3) escape policies."""
-    team_f = P.LowLevelTeam("fight")
-    team_e = P.LowLevelTeam("escape")
+    L{eval_level_ag} fight and L5 (or L3) escape policies.
+
+    ``dtype``: embedded-inference computation dtype.  Commander TRAINING
+    passes the --compute_dtype (bf16 default: the frozen bank dominates
+    the macro-step's FLOPs); evaluation keeps the fp32 default so
+    committed metrics are exactly reproducible."""
+    team_f = P.LowLevelTeam("fight", dtype=dtype)
+    team_e = P.LowLevelTeam("escape", dtype=dtype)
     f_tmpl = team_f.init(jax.random.PRNGKey(0))
     e_tmpl = team_e.init(jax.random.PRNGKey(0))
     root = args.policy_dir
@@ -69,8 +74,9 @@ def main(argv=None):
     args = ARGS.parse(1, argv)
     if args.distributed:
         M.setup_distributed()
+    from hhmarl_2d_tpu.algo.ppo import compute_dtype
     cfg = ARGS.to_env_config(args, 1)
-    bank = build_hl_bank(args)
+    bank = build_hl_bank(args, dtype=compute_dtype(args.compute_dtype))
     ppo = HierPPOConfig(**ARGS.ppo_kwargs(args))
     mesh = M.make_mesh(args.num_devices or None)
     n_dev = mesh.devices.size
@@ -92,8 +98,11 @@ def main(argv=None):
     logger = MetricsLogger(args.log_path)
     tb_proc = None
     if args.tensorboard:
+        import atexit
         from hhmarl_2d_tpu.utils.metrics import launch_tensorboard
         tb_proc, _ = launch_tensorboard(args.log_path)
+        # terminate on ANY exit, not just the clean path (cli/train_low.py)
+        atexit.register(tb_proc.terminate)
     profiler = Profiler(args.log_path) if args.profile else None
     print(f"--- training {args.log_name}: {ppo.num_envs} envs x "
           f"{ppo.rollout_len} macro-steps per iter on {n_dev} device(s) ---",

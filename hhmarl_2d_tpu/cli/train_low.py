@@ -38,9 +38,11 @@ def build_opp_actor(args, team_fight_tmpl, team_esc_tmpl):
     e_tmpl = team_esc_tmpl.init(jax.random.PRNGKey(0))
 
     def load_fight(level, fallback):
+        # a level not yet trained is normal curriculum chaining; any other
+        # failure (corrupted store) must fail loudly
         try:
             return CKPT.load_policy(root, level, "fight", f_tmpl)
-        except Exception:
+        except FileNotFoundError:
             return fallback
 
     l3 = load_fight(3, None)
@@ -56,7 +58,7 @@ def build_opp_actor(args, team_fight_tmpl, team_esc_tmpl):
         fight_bank = CKPT.stack_fight_bank([l3, l4, l5])
     try:
         esc = CKPT.load_policy(root, 3, "escape", e_tmpl)
-    except Exception:
+    except FileNotFoundError:
         esc = e_tmpl  # L5-fight only; untrained escape fallback
     bank = {"fight": fight_bank, "escape": esc}
     return P.make_frozen_opp_actor(team_fight_tmpl, team_esc_tmpl, bank)
@@ -80,9 +82,13 @@ def main(argv=None):
         raise SystemExit(f"--num_envs {ppo.num_envs} must be divisible by "
                          f"the {n_dev}-device mesh")
 
-    team = P.LowLevelTeam(args.agent_mode, args.num_agents)
-    team_fight = team if args.agent_mode == "fight" else P.LowLevelTeam("fight")
-    team_esc = team if args.agent_mode == "escape" else P.LowLevelTeam("escape")
+    from hhmarl_2d_tpu.algo.ppo import compute_dtype
+    dt = compute_dtype(args.compute_dtype)
+    team = P.LowLevelTeam(args.agent_mode, args.num_agents, dtype=dt)
+    team_fight = team if args.agent_mode == "fight" \
+        else P.LowLevelTeam("fight", dtype=dt)
+    team_esc = team if args.agent_mode == "escape" \
+        else P.LowLevelTeam("escape", dtype=dt)
     opp_actor = build_opp_actor(args, team_fight, team_esc)
 
     trainer = LowLevelPPO(cfg, ppo, team=team, opp_actor=opp_actor, mesh=mesh)
@@ -100,8 +106,13 @@ def main(argv=None):
     logger = MetricsLogger(args.log_path)
     tb_proc = None
     if args.tensorboard:
+        import atexit
         from hhmarl_2d_tpu.utils.metrics import launch_tensorboard
         tb_proc, _ = launch_tensorboard(args.log_path)
+        # terminate on ANY exit (incl. raised training errors / exhausted
+        # retries), not just the clean path -- an orphaned server would
+        # keep serving a dead run
+        atexit.register(tb_proc.terminate)
     profiler = Profiler(args.log_path) if args.profile else None
     print(f"--- training {args.log_name}: level {args.level} "
           f"{args.agent_mode}, {ppo.num_envs} envs x {ppo.rollout_len} steps "

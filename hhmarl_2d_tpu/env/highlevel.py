@@ -21,14 +21,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from hhmarl_2d_tpu import constants as C
-from hhmarl_2d_tpu.algo import distributions as D
 from hhmarl_2d_tpu.env import actions as A
 from hhmarl_2d_tpu.env import geometry as G
 from hhmarl_2d_tpu.env import hl_obs
 from hhmarl_2d_tpu.env import obs as O
 from hhmarl_2d_tpu.env import rewards as R
 from hhmarl_2d_tpu.env import spawn
-from hhmarl_2d_tpu.models import hetero
+from hhmarl_2d_tpu.models import policy as P
 from hhmarl_2d_tpu.sim import engine
 from hhmarl_2d_tpu.sim.state import SimState
 
@@ -56,20 +55,6 @@ def make_hl_bank(team_fight, team_esc, fight_params, esc_params,
     }
 
 
-def _greedy_from_models(team, params, obs_rows):
-    """Greedy per-type decode of [k, OBS_PAD] rows through both type models;
-    returns (acts_t1 [k,4], acts_t2 [k,4])."""
-    out = []
-    for t in (1, 2):
-        d_own, d_other, a_own, a_other = hetero.obs_slices(team.mode, t)
-        logits, _ = team.models[t].apply(
-            params[f"ac{t}"], obs_rows[:, None, :d_own],
-            jnp.zeros((obs_rows.shape[0], 1, d_other)),
-            jnp.zeros((obs_rows.shape[0], 1, a_own)),
-            jnp.zeros((obs_rows.shape[0], 1, a_other)))
-        nv = D.NVEC_AC1 if t == 1 else D.NVEC_AC2
-        out.append(D.pad_actions(D.mode(logits[:, 0], nv)))
-    return out
 
 
 def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca, geom=None):
@@ -114,16 +99,19 @@ def _embedded_actions(cfg, bank, sim, lists, valids, dists, ca, geom=None):
         cfg, sim, "esc", list(range(n)), lists[:, :2], valids[:, :2],
         dists[:, :2], fri_slot, fri_valid, geom=geom)
 
+    # actor-only greedy decode; pinned-type slots (the first two of each
+    # group, env/spawn.py) run a single type model (models/policy.py)
     team_f, team_e = bank["_team_fight"], bank["_team_esc"]
-    f1_ag, f2_ag = _greedy_from_models(team_f, bank["fight"], obs_fight[:na])
-    f1_op, f2_op = _greedy_from_models(team_f, bank["fight_opp"],
-                                       obs_fight[na:])
-    e1, e2 = _greedy_from_models(team_e, bank["escape"], obs_esc)
-
+    ac1 = sim.ac_type == 1
+    st_ag = P.static_slot_types([na])
+    st_opp = P.static_slot_types([n - na])
     fight_acts = jnp.concatenate([
-        jnp.where((sim.ac_type[:na] == 1)[:, None], f1_ag, f2_ag),
-        jnp.where((sim.ac_type[na:] == 1)[:, None], f1_op, f2_op)])
-    esc_acts = jnp.where((sim.ac_type == 1)[:, None], e1, e2)
+        P.greedy_actor_mixed(team_f, bank["fight"], obs_fight[:na],
+                             ac1[:na], st_ag),
+        P.greedy_actor_mixed(team_f, bank["fight_opp"], obs_fight[na:],
+                             ac1[na:], st_opp)])
+    esc_acts = P.greedy_actor_mixed(team_e, bank["escape"], obs_esc, ac1,
+                                    st_ag + st_opp)
     acts = jnp.where((ca == 0)[:, None], esc_acts, fight_acts)
     return acts, targets
 

@@ -14,6 +14,8 @@ mask) -- the RLlib RecurrentNetwork sequencing equivalent.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -26,15 +28,23 @@ GRU_SIZE = 200
 class _ResetGRUCell(nn.Module):
     """GRUCell whose carry is zeroed where the step's reset flag is set."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, carry, xs):
         x, r = xs
         carry = jnp.where(r[..., None], jnp.zeros_like(carry), carry)
-        carry, y = nn.GRUCell(features=GRU_SIZE, name="cell")(carry, x)
-        return carry, y
+        new_carry, y = nn.GRUCell(features=GRU_SIZE, dtype=self.dtype,
+                                  name="cell")(carry, x)
+        # the carry stays fp32 across time steps (and macro steps) even
+        # when the cell computes in bf16 -- recurrent error does not
+        # accumulate in the low-precision format
+        return new_carry.astype(carry.dtype), y
 
 
 class _GRUOverTime(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x_bt, h0, reset=None):
         if reset is None:
@@ -42,7 +52,7 @@ class _GRUOverTime(nn.Module):
         scan = nn.transforms.scan(
             _ResetGRUCell, variable_broadcast="params",
             split_rngs={"params": False}, in_axes=1, out_axes=1)
-        carry, ys = scan(name="scan")(h0, (x_bt, reset))
+        carry, ys = scan(dtype=self.dtype, name="scan")(h0, (x_bt, reset))
         return ys, carry
 
 
@@ -58,6 +68,7 @@ class CommanderGru(nn.Module):
 
     n_opp: int = C.N_OPP_HL
     num_agents: int = 3
+    dtype: Any = None   # computation dtype (params/outputs stay fp32)
 
     @nn.compact
     def __call__(self, obs_own, obs_others, act_own, act_others,
@@ -66,20 +77,25 @@ class CommanderGru(nn.Module):
         obs_dim = 14 + 10 * self.n_opp
         assert obs_own.shape[-1] == obs_dim
         assert obs_others.shape[-2] == self.num_agents - 1
+        dt = self.dtype
 
-        shared = SlimFC(500, name="shared")
+        shared = SlimFC(500, dtype=dt, name="shared")
 
         # actor (ac_models_hier.py:90-97)
         x = jnp.concatenate(
-            [SlimFC(50, name="inp1")(obs_own[..., :4]),
-             SlimFC(200, name="inp2")(obs_own[..., 4:4 + 10 * self.n_opp]),
-             SlimFC(50, name="inp3")(obs_own[..., 4 + 10 * self.n_opp:])],
+            [SlimFC(50, dtype=dt, name="inp1")(obs_own[..., :4]),
+             SlimFC(200, dtype=dt,
+                    name="inp2")(obs_own[..., 4:4 + 10 * self.n_opp]),
+             SlimFC(50, dtype=dt,
+                    name="inp3")(obs_own[..., 4 + 10 * self.n_opp:])],
             axis=-1)
-        x_full = SlimFC(200, name="inp4")(obs_own)
-        y, h_act_new = _GRUOverTime(name="rnn_act")(x_full, h_act, reset)
+        x_full = SlimFC(200, dtype=dt, name="inp4")(obs_own)
+        y, h_act_new = _GRUOverTime(dtype=dt, name="rnn_act")(
+            x_full, h_act, reset)
         x_full = l2_normalize(x_full + y)
         x = shared(jnp.concatenate([x, x_full], axis=-1))
-        logits = SlimFC(self.n_opp + 1, activate=False, name="act_out")(x)
+        logits = SlimFC(self.n_opp + 1, activate=False, dtype=dt,
+                        name="act_out")(x).astype(jnp.float32)
 
         # centralized critic (ac_models_hier.py:99-105)
         pairs = [jnp.concatenate([obs_own, act_own], axis=-1)]
@@ -87,18 +103,22 @@ class CommanderGru(nn.Module):
             pairs.append(jnp.concatenate(
                 [obs_others[..., j, :], act_others[..., j, :]], axis=-1))
         z = jnp.concatenate(
-            [SlimFC(100, name=f"v{j + 1}")(p) for j, p in enumerate(pairs)],
+            [SlimFC(100, dtype=dt, name=f"v{j + 1}")(p)
+             for j, p in enumerate(pairs)],
             axis=-1)
         if self.num_agents != 3:
             # the 500->500 shared tower expects the reference's 300-wide
             # branch bundle (3 x 100); adapt other team sizes to it
-            z = SlimFC(300, name="v_adapt")(z)
-        z_full = SlimFC(200, name="v_full")(jnp.concatenate(pairs, axis=-1))
-        w, h_val_new = _GRUOverTime(name="rnn_val")(z_full, h_val, reset)
+            z = SlimFC(300, dtype=dt, name="v_adapt")(z)
+        z_full = SlimFC(200, dtype=dt,
+                        name="v_full")(jnp.concatenate(pairs, axis=-1))
+        w, h_val_new = _GRUOverTime(dtype=dt, name="rnn_val")(
+            z_full, h_val, reset)
         z_full = l2_normalize(z_full + w)
         z = shared(jnp.concatenate([z, z_full], axis=-1))
-        value = SlimFC(1, activate=False, name="val_out")(z)
-        return logits, value[..., 0], (h_act_new, h_val_new)
+        value = SlimFC(1, activate=False, dtype=dt, name="val_out")(z)
+        return (logits, value[..., 0].astype(jnp.float32),
+                (h_act_new, h_val_new))
 
     @staticmethod
     def initial_state(batch: int):

@@ -19,6 +19,8 @@ towers) but give each model its own trunk parameters.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -55,37 +57,48 @@ class FightActorCritic(nn.Module):
     """
 
     ac_type: int = 1
+    dtype: Any = None   # computation dtype (params/outputs stay fp32)
 
     @nn.compact
-    def __call__(self, obs_own, obs_other, act_own, act_other, seg=None):
+    def __call__(self, obs_own, obs_other=None, act_own=None, act_other=None,
+                 seg=None, actor_only=False):
         d_own, d_other, _, _, split = _dims(self.ac_type, "fight")
         assert obs_own.shape[-1] == d_own, (obs_own.shape, d_own)
         n_logits = ACT_LOGITS_AC1 if self.ac_type == 1 else ACT_LOGITS_AC2
+        dt = self.dtype
 
-        shared = SlimFC(500, name="shared")
+        shared = SlimFC(500, dtype=dt, name="shared")
 
         # actor (ac_models_hetero.py:256-274)
-        x = jnp.concatenate([SlimFC(200, name="inp1")(obs_own[..., :split]),
-                             SlimFC(200, name="inp2")(obs_own[..., split:])],
-                            axis=-1)
-        x_full = SlimFC(100, name="inp3")(obs_own)
-        x_att = TimeAttention(100, name="att_act")(x_full, seg)
+        x = jnp.concatenate(
+            [SlimFC(200, dtype=dt, name="inp1")(obs_own[..., :split]),
+             SlimFC(200, dtype=dt, name="inp2")(obs_own[..., split:])],
+            axis=-1)
+        x_full = SlimFC(100, dtype=dt, name="inp3")(obs_own)
+        x_att = TimeAttention(100, dtype=dt, name="att_act")(x_full, seg)
         x_full = l2_normalize(x_full + x_att)
         x = shared(jnp.concatenate([x, x_full], axis=-1))
-        logits = SlimFC(n_logits, activate=False, name="act_out")(x)
+        logits = SlimFC(n_logits, activate=False, dtype=dt,
+                        name="act_out")(x).astype(jnp.float32)
+
+        # frozen-bank greedy inference only reads logits -- skip the whole
+        # centralized-critic tower (half the model FLOPs); init() still
+        # traces with actor_only=False so the param tree is complete
+        if actor_only:
+            return logits, None
 
         # centralized critic (ac_models_hetero.py:276-291)
         v1 = jnp.concatenate([obs_own, act_own], axis=-1)
         v2 = jnp.concatenate([obs_other, act_other], axis=-1)
         v3 = jnp.concatenate([v1, v2], axis=-1)
-        y = jnp.concatenate([SlimFC(175, name="v1")(v1),
-                             SlimFC(175, name="v2")(v2)], axis=-1)
-        y_full = SlimFC(150, name="v3")(v3)
-        y_att = TimeAttention(150, name="att_val")(y_full, seg)
+        y = jnp.concatenate([SlimFC(175, dtype=dt, name="v1")(v1),
+                             SlimFC(175, dtype=dt, name="v2")(v2)], axis=-1)
+        y_full = SlimFC(150, dtype=dt, name="v3")(v3)
+        y_att = TimeAttention(150, dtype=dt, name="att_val")(y_full, seg)
         y_full = l2_normalize(y_full + y_att)
         y = shared(jnp.concatenate([y, y_full], axis=-1))
-        value = SlimFC(1, activate=False, name="val_out")(y)
-        return logits, value[..., 0]
+        value = SlimFC(1, activate=False, dtype=dt, name="val_out")(y)
+        return logits, value[..., 0].astype(jnp.float32)
 
 
 class EscActorCritic(nn.Module):
@@ -93,33 +106,41 @@ class EscActorCritic(nn.Module):
     (own 150 / opponents 250 / friendly 100) and a flat joint critic."""
 
     ac_type: int = 1
+    dtype: Any = None   # computation dtype (params/outputs stay fp32)
 
     @nn.compact
-    def __call__(self, obs_own, obs_other, act_own, act_other, seg=None):
+    def __call__(self, obs_own, obs_other=None, act_own=None, act_other=None,
+                 seg=None, actor_only=False):
         del seg  # escape models have no attention (ac_models_hetero.py:29-179)
         d_own, d_other, _, _, split = _dims(self.ac_type, "esc")
         assert obs_own.shape[-1] == d_own, (obs_own.shape, d_own)
         n_logits = ACT_LOGITS_AC1 if self.ac_type == 1 else ACT_LOGITS_AC2
+        dt = self.dtype
 
-        shared = SlimFC(500, name="shared")
+        shared = SlimFC(500, dtype=dt, name="shared")
 
         x = jnp.concatenate(
-            [SlimFC(150, name="inp1")(obs_own[..., :split]),
-             SlimFC(250, name="inp2")(obs_own[..., split:split + 18]),
-             SlimFC(100, name="inp3")(obs_own[..., split + 18:])], axis=-1)
+            [SlimFC(150, dtype=dt, name="inp1")(obs_own[..., :split]),
+             SlimFC(250, dtype=dt, name="inp2")(obs_own[..., split:split + 18]),
+             SlimFC(100, dtype=dt, name="inp3")(obs_own[..., split + 18:])],
+            axis=-1)
         x = shared(x)
-        logits = SlimFC(n_logits, activate=False, name="act_out")(x)
+        logits = SlimFC(n_logits, activate=False, dtype=dt,
+                        name="act_out")(x).astype(jnp.float32)
+
+        if actor_only:
+            return logits, None
 
         v = jnp.concatenate([obs_own, act_own, obs_other, act_other], axis=-1)
-        y = shared(SlimFC(500, name="inp1_val")(v))
-        value = SlimFC(1, activate=False, name="val_out")(y)
-        return logits, value[..., 0]
+        y = shared(SlimFC(500, dtype=dt, name="inp1_val")(v))
+        value = SlimFC(1, activate=False, dtype=dt, name="val_out")(y)
+        return logits, value[..., 0].astype(jnp.float32)
 
 
-def make_lowlevel_model(mode: str, ac_type: int):
+def make_lowlevel_model(mode: str, ac_type: int, dtype=None):
     if mode == "fight":
-        return FightActorCritic(ac_type=ac_type)
-    return EscActorCritic(ac_type=ac_type)
+        return FightActorCritic(ac_type=ac_type, dtype=dtype)
+    return EscActorCritic(ac_type=ac_type, dtype=dtype)
 
 
 def obs_slices(mode: str, ac_type: int):

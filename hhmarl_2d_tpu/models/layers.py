@@ -3,9 +3,17 @@
 The reference builds everything from RLlib ``SlimFC`` (orthogonal init +
 Tanh) plus torch ``MultiheadAttention``/``GRU`` residuals with row-wise L2
 normalization (models/ac_models_hetero.py:22-27,268-284).
+
+Mixed precision: every block takes a ``dtype`` (the *computation* dtype;
+``None`` = float32).  Parameters and the optimizer always stay float32 --
+passing ``jnp.bfloat16`` runs the matmuls on the MXU's native bf16 path
+(~2x fp32 on v5e) while the loss, GAE and distribution math remain fp32
+(the models cast their outputs back).
 """
 
 from __future__ import annotations
+
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -16,10 +24,12 @@ class SlimFC(nn.Module):
 
     features: int
     activate: bool = True
+    dtype: Optional[Any] = None  # computation dtype; params stay fp32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.features, kernel_init=nn.initializers.orthogonal(),
+        x = nn.Dense(self.features, dtype=self.dtype,
+                     kernel_init=nn.initializers.orthogonal(),
                      bias_init=nn.initializers.zeros)(x)
         return nn.tanh(x) if self.activate else x
 
@@ -33,9 +43,13 @@ def l2_normalize(x, axis=-1, eps=1e-12):
     initialization (zero biases) those rows reach this residual normalize
     as exactly zero -- jnp.linalg.norm's 0/0 gradient would poison the
     whole batch with NaNs there.
+
+    The squared-sum accumulates in fp32 regardless of ``x.dtype`` (a bf16
+    sum of ~100 squares loses mantissa); the result is cast back.
     """
-    sq = jnp.sum(x * x, axis=axis, keepdims=True)
-    return x / jnp.sqrt(sq + eps)
+    xf = x.astype(jnp.float32)
+    sq = jnp.sum(xf * xf, axis=axis, keepdims=True)
+    return (xf / jnp.sqrt(sq + eps)).astype(x.dtype)
 
 
 class TimeAttention(nn.Module):
@@ -49,6 +63,7 @@ class TimeAttention(nn.Module):
 
     features: int
     num_heads: int = 2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x_bt, seg=None):
@@ -64,5 +79,6 @@ class TimeAttention(nn.Module):
             num_heads=self.num_heads,
             qkv_features=self.features,
             out_features=self.features,
+            dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
         )(x_bt, x_bt, mask=mask)

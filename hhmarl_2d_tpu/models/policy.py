@@ -47,15 +47,19 @@ class LowLevelTeam:
     ``forward_k``/``act_k`` evaluate BOTH type models on every slot's
     padded obs row and select by the slot's ac_type -- the same pattern
     the commander env uses for its embedded policies
-    (highlevel._greedy_from_models); the CTDE critic pairs each slot with
+    (greedy_actor_mixed); the CTDE critic pairs each slot with
     the teammate of its obs row (closest alive, env/obs.py).
     """
 
-    def __init__(self, mode: str, num_agents: int = 2):
+    def __init__(self, mode: str, num_agents: int = 2, dtype=None):
         self.mode = mode
         self.num_agents = num_agents
-        self.models = {1: hetero.make_lowlevel_model(mode, 1),
-                       2: hetero.make_lowlevel_model(mode, 2)}
+        # dtype = computation dtype (None = fp32; jnp.bfloat16 for the MXU
+        # fast path).  Params are fp32 either way, so frozen stores load
+        # into teams of any compute dtype.
+        self.dtype = dtype
+        self.models = {1: hetero.make_lowlevel_model(mode, 1, dtype),
+                       2: hetero.make_lowlevel_model(mode, 2, dtype)}
         self.obs_dim = {t: hetero.obs_slices(mode, t)[0] for t in (1, 2)}
 
     def init(self, key) -> Dict[str, Any]:
@@ -194,20 +198,47 @@ def mate_onehot(tmate, num_agents):
     return (tmate[..., None] == jnp.arange(num_agents)).astype(jnp.float32)
 
 
-def greedy_type_actions(team: LowLevelTeam, params, rows):
-    """Greedy per-type decode of [m, OBS_PAD] padded rows through both
-    type models (zero critic inputs -- the actor towers only read own
-    obs).  Returns {1: acts [m,4], 2: acts [m,4]}."""
+def static_slot_types(sizes):
+    """Trace-time slot types for consecutive groups of ``sizes``: spawn
+    pins the first two slots of each group to types 1, 2 and randomizes
+    the rest per episode (env_base.py:560 / env/spawn.py).  0 = unknown."""
+    out = []
+    for sz in sizes:
+        out.extend([1, 2][:min(2, sz)] + [0] * max(0, sz - 2))
+    return tuple(out)
+
+
+def greedy_actor_mixed(team: LowLevelTeam, params, rows, ac1,
+                       static_types=None):
+    """Greedy actor-only decode of [m, OBS_PAD] padded rows.
+
+    Replaces the evaluate-both-types-everywhere pattern: slots whose
+    aircraft type is pinned at trace time (``static_types`` entry 1 or 2)
+    run ONLY their own type model; unknown slots (entry 0) run both and
+    select by the runtime ``ac1`` mask.  With the critic tower skipped
+    (actor_only) this cuts embedded frozen-bank inference to ~1/3 of the
+    both-types-both-towers cost at 3-vs-3.  Logits are bit-identical to
+    the unfused path.  Returns acts [m, 4] (AC2 rows zero-padded).
+    """
     m = rows.shape[0]
-    out = {}
+    if static_types is None:
+        static_types = (0,) * m
+    assert len(static_types) == m, (static_types, m)
+    acts = {}
     for t in (1, 2):
-        d_own, d_other, a_own, a_other = hetero.obs_slices(team.mode, t)
-        logits, _ = team.models[t].apply(
-            params[f"ac{t}"], rows[:, None, :d_own],
-            jnp.zeros((m, 1, d_other)), jnp.zeros((m, 1, a_own)),
-            jnp.zeros((m, 1, a_other)))
-        out[t] = D.pad_actions(D.mode(logits[:, 0], _nvec(t)))
-    return out
+        idx = [i for i, st in enumerate(static_types) if st in (0, t)]
+        if not idx:
+            acts[t] = jnp.zeros((m, 4), jnp.int32)
+            continue
+        d_own = hetero.obs_slices(team.mode, t)[0]
+        sub = rows[jnp.asarray(idx)][:, None, :d_own]
+        logits, _ = team.models[t].apply(params[f"ac{t}"], sub,
+                                         actor_only=True)
+        a = D.pad_actions(D.mode(logits[:, 0], _nvec(t)))
+        acts[t] = jnp.zeros((m, 4), jnp.int32).at[jnp.asarray(idx)].set(a)
+    st = jnp.asarray(static_types)
+    use1 = jnp.where(st == 0, ac1, st == 1)
+    return jnp.where(use1[:, None], acts[1], acts[2])
 
 
 def make_frozen_opp_actor(opp_team_fight: LowLevelTeam,
@@ -239,26 +270,13 @@ def make_frozen_opp_actor(opp_team_fight: LowLevelTeam,
         obs_f, tgt_f, _ = O.lowlevel_side_obs(cfg, sim, "fight", "opp", geom)
         obs_e, tgt_e, _ = O.lowlevel_side_obs(cfg, sim, "esc", "opp", geom)
 
-        if cfg.num_opps == 2:
-            # fixed slot->type mapping of the 2-opponent reference setup
-            # (spawn pins slots na, na+1 to types 1, 2) -- one model pass
-            # per slot instead of two
-            def team_actions(team, params, obs_side):
-                logits, _ = team.forward(params, obs_side[None, None])
-                logits = logits[0, 0]
-                acts = []
-                for slot, t in enumerate((1, 2)):
-                    nv = _nvec(t)
-                    acts.append(D.pad_actions(
-                        D.mode(logits[slot, :sum(nv)], nv)))
-                return jnp.stack(acts)
-        else:
-            # k-opponent teams carry per-episode random types on slots >= 2
-            ac1_opp = sim.ac_type[na:] == 1
+        # spawn pins opp slots na, na+1 to types 1, 2; slots >= 2 carry
+        # per-episode random types -- only those run both type models
+        ac1_opp = sim.ac_type[na:] == 1
+        st = static_slot_types([cfg.num_opps])
 
-            def team_actions(team, params, obs_side):
-                acts = greedy_type_actions(team, params, obs_side)
-                return jnp.where(ac1_opp[:, None], acts[1], acts[2])
+        def team_actions(team, params, obs_side):
+            return greedy_actor_mixed(team, params, obs_side, ac1_opp, st)
 
         acts_f = team_actions(opp_team_fight, fight_params, obs_f)
         acts_e = team_actions(opp_team_esc, bank["escape"], obs_e)

@@ -38,12 +38,38 @@ def latest_step(path: str) -> Optional[int]:
 
 def restore_train_state(path: str, template: Any,
                         step: Optional[int] = None) -> Any:
-    """Restore the latest (or given) step into the template's structure."""
+    """Restore the latest (or given) step into the template's structure.
+
+    Checkpoints saved before the optimizer switched to single-vector adam
+    (optax.flatten, algo/ppo.py) carry a per-leaf opt_state that no longer
+    matches the template; those restore params / kl_coeff / update_i and
+    keep the template's freshly initialized optimizer state (evaluation
+    never reads it; a resumed training run re-warms adam's moments).
+    """
     mngr = _mngr(path)
     step = mngr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {path}")
-    return mngr.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        return mngr.restore(step, args=ocp.args.StandardRestore(template))
+    except Exception:
+        raw = mngr.restore(step)
+        print(f"checkpoint {path}@{step}: optimizer state predates the "
+              "flattened-adam format; restored params only (optimizer "
+              "reinitialized)", flush=True)
+        import jax
+        import jax.numpy as jnp
+
+        def graft(t, r):
+            return jax.tree_util.tree_map(
+                lambda tl, rl: jnp.asarray(rl, tl.dtype), t, r)
+
+        return template.replace(
+            params=graft(template.params, raw["params"]),
+            kl_coeff=jnp.asarray(raw["kl_coeff"],
+                                 template.kl_coeff.dtype),
+            update_i=jnp.asarray(raw["update_i"],
+                                 template.update_i.dtype))
 
 
 # --- frozen policy store (the ".pt" export equivalent) ----------------------
