@@ -1,0 +1,197 @@
+"""Oracle upper bound for the commander on the frozen bank.
+
+The plateau analysis (artifacts/COMMANDER_PLATEAU.md) claims the ~30%
+draws are a ceiling of the frozen low-level bank, not under-training of
+the commander.  This quantifies that claim (VERDICT round-4 item 3): for
+each of N episodes, run K coupled rollouts -- the greedy commander plus
+K-1 stochastic variants sampled from the commander's own policy
+distribution, plus K uniform-random commanders -- and score the episode
+as an ORACLE win if ANY rollout wins.  All K rollouts share the episode
+seed (same spawn and the same opponent-commander / engine random draws
+at each macro step), so the oracle isolates exactly the value of better
+commander DECISIONS on this bank.
+
+If oracle-win is close to greedy-win, no decision sequence near (or far
+from) the learned policy converts the draws: the bank is the ceiling.
+Protocol per /root/reference/evaluation.py:19,66-82 (ratio 75).
+
+Usage: python scripts/commander_oracle.py [--n_evals 250] [--k 16]
+Writes artifacts/COMMANDER_ORACLE.md + .json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    from hhmarl_2d_tpu.utils.platform import ensure_platform
+    ensure_platform()
+    import jax
+    import jax.numpy as jnp
+
+    from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO, HierPPOConfig
+    from hhmarl_2d_tpu.cli import args as ARGS
+    from hhmarl_2d_tpu.cli.train_high import build_hl_bank
+    from hhmarl_2d_tpu.env import highlevel
+    from hhmarl_2d_tpu.eval import harness
+    from hhmarl_2d_tpu.eval.episodes import _commander_forward
+    from hhmarl_2d_tpu.models.commander import CommanderGru, GRU_SIZE
+    from hhmarl_2d_tpu.utils import checkpoint as CKPT
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_evals", type=int, default=250)
+    ap.add_argument("--k", type=int, default=16,
+                    help="rollouts per episode per arm (policy-sampled arm "
+                         "and uniform-random arm)")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="episodes per device batch (each episode costs "
+                         "2k+1 rollouts)")
+    ap.add_argument("--seed", type=int, default=0)
+    opt = ap.parse_args()
+
+    argv = ["--n_opp_hl", "3", "--policy_dir",
+            os.path.join(ROOT, "deploy", "policies")]
+    args = ARGS.parse(2, argv)
+    cfg = ARGS.to_env_config(args, 2)
+    bank = build_hl_bank(args)
+    model = CommanderGru(n_opp=cfg.n_opp_hl, num_agents=cfg.num_agents)
+    trainer = CommanderPPO(cfg, HierPPOConfig(num_envs=1), bank)
+    ts, _, _, _ = trainer.init(jax.random.PRNGKey(0))
+    check = os.path.join(ROOT, "deploy", "commander_3opp", "checkpoint")
+    ts = CKPT.restore_train_state(check, ts, step=3001)
+    params = ts.params
+    na = cfg.num_agents
+    fr = jnp.asarray(args.hier_opp_fight_ratio / 100.0, jnp.float32)
+    max_macro = harness.max_macro_steps(cfg)
+
+    def one_rollout(ep_key, policy_key, mode):
+        """mode 0=greedy, 1=sample-from-policy, 2=uniform-random.
+        ep_key drives env randomness (shared across the K rollouts of an
+        episode); policy_key drives only the commander's own draws."""
+        st, obs = highlevel.reset(cfg, ep_key)
+        h = jnp.zeros((na, 2, GRU_SIZE))
+
+        def step_fn(carry, inp):
+            st, obs, h, done_seen, win = carry
+            kk, pk = inp
+            logits, _, h_new = _commander_forward(model, params, obs, h, na)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(pk, logits, axis=-1).astype(
+                jnp.int32)
+            rand = jax.random.randint(pk, (na,), 0, cfg.n_opp_hl + 1)
+            a = jnp.where(mode == 0, greedy,
+                          jnp.where(mode == 1, sampled, rand))
+            st2, obs2, rew, done, info = highlevel.step(
+                cfg, st, a, bank, kk, fight_ratio=fr)
+            keep = ~done_seen
+            st = jax.tree_util.tree_map(
+                lambda x, y: jnp.where(jnp.reshape(keep, (1,) * x.ndim)
+                                       if x.ndim else keep, y, x), st, st2)
+            obs = jnp.where(keep, obs2, obs)
+            h = jnp.where(keep, h_new, h)
+            win = win | (keep & (info["agents_win"] > 0))
+            return (st, obs, h, done_seen | done, win), None
+
+        # env keys derive from ep_key alone -> identical opponent-commander
+        # and engine draws across this episode's K rollouts
+        env_keys = jax.random.split(jax.random.fold_in(ep_key, 1), max_macro)
+        pol_keys = jax.random.split(policy_key, max_macro)
+        (_, _, _, done, win), _ = jax.lax.scan(
+            step_fn, (st, obs, h, jnp.asarray(False), jnp.asarray(False)),
+            (env_keys, pol_keys))
+        return win
+
+    K = opt.k
+
+    def one_episode(ep_key):
+        greedy_win = one_rollout(ep_key, jax.random.PRNGKey(0),
+                                 jnp.asarray(0))
+        pol_keys = jax.random.split(jax.random.fold_in(ep_key, 2), K)
+        pol_wins = jax.vmap(
+            lambda pk: one_rollout(ep_key, pk, jnp.asarray(1)))(pol_keys)
+        rnd_keys = jax.random.split(jax.random.fold_in(ep_key, 3), K)
+        rnd_wins = jax.vmap(
+            lambda pk: one_rollout(ep_key, pk, jnp.asarray(2)))(rnd_keys)
+        any_pol = greedy_win | jnp.any(pol_wins)
+        any_all = any_pol | jnp.any(rnd_wins)
+        return (greedy_win.astype(jnp.int32), any_pol.astype(jnp.int32),
+                jnp.any(rnd_wins).astype(jnp.int32),
+                any_all.astype(jnp.int32))
+
+    run = jax.jit(jax.vmap(one_episode))
+    t0 = time.time()
+    totals = [0, 0, 0, 0]
+    used = 0
+    key = jax.random.PRNGKey(opt.seed)
+    keys = jax.random.split(key, opt.n_evals)
+    while used < opt.n_evals:
+        take = min(opt.chunk, opt.n_evals - used)
+        kchunk = keys[used:used + take]
+        if take < opt.chunk:  # pad to the compiled chunk shape
+            kchunk = jnp.concatenate(
+                [kchunk, jnp.tile(kchunk[-1:], (opt.chunk - take, 1))])
+        out = jax.device_get(run(kchunk))
+        for i in range(4):
+            totals[i] += int(out[i][:take].sum())
+        used += take
+        print(f"{used}/{opt.n_evals}: greedy {totals[0]} "
+              f"oracle(policy K={K}) {totals[1]} random-any {totals[2]} "
+              f"oracle(all) {totals[3]}", flush=True)
+
+    n = opt.n_evals
+    res = {
+        "n_evals": n, "k_per_arm": K,
+        "hier_opp_fight_ratio": args.hier_opp_fight_ratio,
+        "greedy_win_pct": round(100 * totals[0] / n, 1),
+        "oracle_policy_win_pct": round(100 * totals[1] / n, 1),
+        "random_any_win_pct": round(100 * totals[2] / n, 1),
+        "oracle_all_win_pct": round(100 * totals[3] / n, 1),
+        "checkpoint": "deploy/commander_3opp@3001",
+        "seconds": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.join(ROOT, "artifacts"), exist_ok=True)
+    with open(os.path.join(ROOT, "artifacts", "COMMANDER_ORACLE.json"),
+              "w") as f:
+        json.dump(res, f, indent=2)
+
+    md = f"""# Commander oracle upper bound (frozen-bank ceiling)
+
+Question (VERDICT round-4 item 3): are the remaining draws a ceiling of
+the frozen low-level bank, or commander under-training?
+
+Method: per episode seed, {2 * K + 1} coupled rollouts share the exact
+same spawn and opponent/engine random draws; they differ ONLY in the
+commander's decisions — 1 greedy, {K} sampled from the learned policy's
+own distribution, {K} uniform-random.  An "oracle" win = ANY rollout
+wins, i.e. a best-of-{2 * K + 1} decision-sequence search per episode.
+Ratio {args.hier_opp_fight_ratio} opponents, deployed checkpoint
+`deploy/commander_3opp@3001`, {n} episodes.
+
+| arm | win % |
+|---|---|
+| greedy commander (deployed) | {res['greedy_win_pct']} |
+| oracle over policy samples (best-of-{K + 1}) | {res['oracle_policy_win_pct']} |
+| any uniform-random commander (of {K}) | {res['random_any_win_pct']} |
+| oracle over ALL {2 * K + 1} rollouts | {res['oracle_all_win_pct']} |
+
+Reading: the gap between the greedy row and the oracle rows bounds how
+much win rate better commander DECISIONS could extract from this bank on
+these episodes.  (`artifacts/COMMANDER_ORACLE.json` for raw numbers.)
+"""
+    with open(os.path.join(ROOT, "artifacts", "COMMANDER_ORACLE.md"),
+              "w") as f:
+        f.write(md)
+    print(json.dumps(res))
+    print("-> artifacts/COMMANDER_ORACLE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,19 @@
-"""Two-process jax.distributed smoke: the multi-host execution path.
+"""Multi-process jax.distributed smoke: the multi-host execution path.
 
 Replaces-and-proves the reference's multi-process distribution layer (Ray
 rollout workers, /root/reference/train_hetero.py:212) on the JAX side:
-each process is one "host" with 2 virtual CPU devices; both call
-``setup_distributed`` (parallel/mesh.py), build ONE global 4-device data
-mesh, shard the env batch globally, and run a full sharded
-``LowLevelPPO.train_iter`` to completion -- gradient pmean crossing the
-process boundary.
+each process is one "host" with 2 virtual CPU devices; all call
+``setup_distributed`` (parallel/mesh.py), build ONE global data mesh over
+every device of every process, shard the env batch globally, and run a
+full sharded ``LowLevelPPO.train_iter`` to completion -- gradient pmean
+crossing every process boundary.  Each worker reports the pmean'd metrics
+AND an md5 over the raw bytes of its post-update replicated params; the
+launcher asserts both are identical across all processes (bit-identical
+replicated learner state).
 
 Worker:   python scripts/multihost_smoke.py <proc_id> <nproc> <port>
-Launcher: python scripts/multihost_smoke.py --launch   (spawns 2 workers,
-          validates their outputs agree, writes artifacts/MULTIHOST.json)
+Launcher: python scripts/multihost_smoke.py --launch [nproc]  (default 4
+          workers; validates outputs agree, writes artifacts/MULTIHOST.json)
 """
 
 from __future__ import annotations
@@ -56,6 +59,14 @@ def worker(proc_id: int, nproc: int, port: int):
     ts, env_state, obs, metrics = trainer.train_iter(
         ts, env_state, obs, jax.random.PRNGKey(1))
     out = {k: round(float(v), 6) for k, v in sorted(metrics.items())}
+    # bit-exact replication proof: md5 over this host's copy of the
+    # replicated post-update params
+    import hashlib
+    import numpy as np
+    h = hashlib.md5()
+    for leaf in jax.tree_util.tree_leaves(ts.params):
+        h.update(np.ascontiguousarray(jax.device_get(leaf)).tobytes())
+    out["params_md5"] = h.hexdigest()
     print("MULTIHOST_OK", proc_id, json.dumps(out), flush=True)
     jax.distributed.shutdown()
 
@@ -66,7 +77,7 @@ def launch():
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
-    nproc = 2
+    nproc = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     # strip the TPU-tunnel site hook's trigger (PALLAS_AXON_POOL_IPS) so
     # workers boot plain CPU JAX and jax.distributed owns backend init
     env = {k: v for k, v in os.environ.items()
@@ -96,15 +107,20 @@ def launch():
             raise SystemExit(
                 f"process {i} failed (rc={procs[i].returncode}):\n{out}")
         results[i] = json.loads(ok_lines[0].split(" ", 2)[2])
-    # SPMD: every process must report the identical pmean'd metrics
-    assert results[0] == results[1], (results[0], results[1])
+    # SPMD: every process must report identical pmean'd metrics and a
+    # bit-identical post-update params hash
+    for i in range(1, nproc):
+        assert results[i] == results[0], (i, results[i], results[0])
     artifact = {
         "processes": nproc, "devices_per_process": 2,
         "global_mesh_devices": 2 * nproc,
         "program": "LowLevelPPO.train_iter (sharded SGD, gradient pmean "
-                   "across the process boundary)",
+                   "across every process boundary)",
         "metrics_identical_across_processes": True,
-        "metrics": results[0],
+        "post_update_params_bit_identical": True,
+        "params_md5": results[0]["params_md5"],
+        "metrics": {k: v for k, v in results[0].items()
+                    if k != "params_md5"},
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "MULTIHOST.json")

@@ -150,17 +150,12 @@ class TestCommanderAgentFoldFast:
         from hhmarl_2d_tpu.algo.ppo_hier import CommanderPPO, HierPPOConfig, \
             _others
         from hhmarl_2d_tpu.env import config as ECfg
-        from hhmarl_2d_tpu.env import highlevel
-        from hhmarl_2d_tpu.models import policy as PP
 
         cfg = ECfg.make_highlevel_config(n_opp_hl=2)
-        team_f = PP.LowLevelTeam("fight")
-        team_e = PP.LowLevelTeam("escape")
-        bank = highlevel.make_hl_bank(
-            team_f, team_e, team_f.init(jax.random.PRNGKey(0)),
-            team_e.init(jax.random.PRNGKey(1)))
+        # _forward_agents never touches the frozen bank -- skip building
+        # it (4 model inits) so this stays cheap enough for the fast gate
         tr = CommanderPPO(cfg, HierPPOConfig(num_envs=2, rollout_len=4,
-                                             seq_len=2), bank)
+                                             seq_len=2), bank=None)
         d = cfg.obs_hl
         na = tr.na
         params = tr.model.init(
