@@ -65,8 +65,13 @@ def main():
         "",
     ]
 
+    # round-5 battery writes the fair baseline under its own --eval_tag
+    # name; fall back to the pre-tag layout for older runs
     fair = os.path.join(args.results, f"EVAL_Low-Level_3-vs-3{s}_L5opp",
-                        f"Metrics_Low-Level_3-vs-3{s}.json")
+                        f"Metrics_Low-Level_3-vs-3{s}_L5opp.json")
+    if not os.path.exists(fair):
+        fair = os.path.join(args.results, f"EVAL_Low-Level_3-vs-3{s}_L5opp",
+                            f"Metrics_Low-Level_3-vs-3{s}.json")
     if os.path.exists(fair):
         fv = load(fair)
         md += [

@@ -71,6 +71,7 @@ class TestCommanderAgentFold:
 
 
 class TestAdvStandardization:
+    @pytest.mark.slow  # non-default semantics; ~50 s of rollout compile
     def test_k_path_type_mode_standardizes_per_type(self):
         """adv_std="type": batch.adv ~N(0,1) within each ac-type mask
         (RLlib per-policy semantics, selectable; see the measured A/B in
