@@ -79,8 +79,15 @@ class CommanderPPO:
                                   num_agents=self.na,
                                   dtype=compute_dtype(ppo.compute_dtype))
         self.nvec = (cfg_env.act_dim_hl,)
-        # single-vector adam (see algo/ppo.py on optax.flatten)
-        self.tx = optax.flatten(optax.adam(ppo.lr))
+        # per-leaf adam here, UNLIKE algo/ppo.py's optax.flatten: the
+        # commander's params are few large leaves (500-wide trunk, GRU
+        # kernels), so flatten's ravel/unravel copies per minibatch update
+        # measured a 34% whole-iteration regression (5.11 -> 3.39
+        # train_iter/s at the production point) where the low-level
+        # learner's ~50 small leaves gained 13%.  Bonus: the optimizer
+        # state structure keeps matching the committed deploy/ commander
+        # checkpoints.
+        self.tx = optax.adam(ppo.lr)
         assert ppo.rollout_len % ppo.seq_len == 0
 
     def init(self, key):

@@ -231,11 +231,17 @@ def greedy_actor_mixed(team: LowLevelTeam, params, rows, ac1,
             acts[t] = jnp.zeros((m, 4), jnp.int32)
             continue
         d_own = hetero.obs_slices(team.mode, t)[0]
-        sub = rows[jnp.asarray(idx)][:, None, :d_own]
+        if len(idx) == m:
+            sub = rows[:, None, :d_own]
+        else:
+            sub = rows[jnp.asarray(idx)][:, None, :d_own]
         logits, _ = team.models[t].apply(params[f"ac{t}"], sub,
                                          actor_only=True)
         a = D.pad_actions(D.mode(logits[:, 0], _nvec(t)))
-        acts[t] = jnp.zeros((m, 4), jnp.int32).at[jnp.asarray(idx)].set(a)
+        if len(idx) == m:
+            acts[t] = a
+        else:
+            acts[t] = jnp.zeros((m, 4), jnp.int32).at[jnp.asarray(idx)].set(a)
     st = jnp.asarray(static_types)
     use1 = jnp.where(st == 0, ac1, st == 1)
     return jnp.where(use1[:, None], acts[1], acts[2])

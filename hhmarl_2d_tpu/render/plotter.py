@@ -107,11 +107,17 @@ def plot_frame(trace: EpisodeTrace, t: int, out_file: str,
 
 
 def plot_episode(trace: EpisodeTrace, out_file: str,
-                 status: Optional[str] = None):
+                 status: Optional[str] = None, style: str = "scene"):
     """Final-frame render with full traces (the reference's episode PNG,
-    train_hetero.py:96)."""
+    train_hetero.py:96).  ``style="scene"`` goes through the full drawable
+    pipeline incl. the Mercator chart background (render/scenplot.py);
+    ``"fast"`` is the lightweight matplotlib frame."""
     t = trace.lat.shape[0] - 1
-    plot_frame(trace, t, out_file, status=status)
+    if style == "scene":
+        from hhmarl_2d_tpu.render.scenplot import plot_trace_frame
+        plot_trace_frame(trace, t, out_file, status=status)
+    else:
+        plot_frame(trace, t, out_file, status=status)
 
 
 def render_video(trace: EpisodeTrace, out_file: str,

@@ -25,6 +25,15 @@ import numpy as np
 from hhmarl_2d_tpu.geo import MapLimits
 
 
+def _make_ocean_cmap():
+    from matplotlib.colors import LinearSegmentedColormap
+    return LinearSegmentedColormap.from_list(
+        "ocean_depth", ["#122a40", "#17344e", "#1d405e"])
+
+
+_OCEAN_CMAP = _make_ocean_cmap()
+
+
 @dataclasses.dataclass
 class PlotConfig:
     """Rendering knobs (scenario_plotter.py:24-36)."""
@@ -35,6 +44,13 @@ class PlotConfig:
     borders_color: str = "#ffffff"
     sprites_info_font_size: float = 7.0
     status_message_font_size: float = 9.0
+    # geographic chart background (the reference renders a cartopy
+    # Mercator tile, scenario_plotter.py:184-207; its default play area
+    # -- lon 7..7.5E, lat 5..5.5N, env_base.py:43 -- is open ocean in the
+    # Gulf of Guinea, so a Mercator-aspect ocean chart with a true-
+    # coordinate graticule reproduces the tile's visible content without
+    # cartopy or coastline data)
+    geo_background: bool = True
 
 
 class Drawable:
@@ -237,7 +253,9 @@ class ScenarioPlotter:
         for spine in ax.spines.values():
             spine.set_color(self.cfg.borders_color)
         ax.tick_params(colors=self.cfg.borders_color, labelsize=6)
-        if self.cfg.show_grid:
+        if self.cfg.geo_background:
+            self._draw_geo_background(ax, ext)
+        elif self.cfg.show_grid:
             ax.grid(color=self.cfg.borders_color, alpha=0.15, lw=0.5)
 
         if self.background_mesh is not None:
@@ -251,6 +269,47 @@ class ScenarioPlotter:
         fig.tight_layout()
         fig.savefig(filename, facecolor=fig.get_facecolor())
         plt.close(fig)
+
+    # -- geographic background ----------------------------------------------
+
+    def _draw_geo_background(self, ax, ext):
+        """Mercator-faithful nautical-chart background.
+
+        Replaces the reference's rasterized cartopy Mercator tile
+        (scenario_plotter.py:184-207) with the same information content
+        for its play area: correct Mercator aspect at the map latitude, a
+        subtle open-ocean depth gradient, and a graticule labeled with
+        TRUE geographic coordinates (anchor lat 5N / lon 7E,
+        env_base.py:43 via constants.MAP_BOTTOM_LAT/MAP_LEFT_LON).
+        """
+        import matplotlib.ticker as mticker
+
+        from hhmarl_2d_tpu import constants as C
+
+        mid_lat = C.MAP_BOTTOM_LAT + 0.5 * (ext.bottom_lat + ext.top_lat)
+        # local Mercator stretch: 1 deg of latitude spans 1/cos(phi) of
+        # the plot units a degree of longitude does
+        ax.set_aspect(1.0 / max(np.cos(np.radians(mid_lat)), 1e-6))
+
+        # open-ocean depth gradient (deep at bottom, lighter at top)
+        grad = np.linspace(0.0, 1.0, 64)[:, None] * np.ones((1, 2))
+        ax.imshow(grad, extent=(ext.left_lon, ext.right_lon,
+                                ext.bottom_lat, ext.top_lat),
+                  origin="lower", aspect="auto", zorder=0,
+                  cmap=_OCEAN_CMAP, interpolation="bilinear")
+
+        # graticule with degree-minute labels at true coordinates
+        def fmt(offset, anchor, suffix):
+            val = anchor + offset
+            deg = int(val)
+            minutes = (val - deg) * 60.0
+            return f"{deg}\N{DEGREE SIGN}{minutes:04.1f}'{suffix}"
+
+        ax.xaxis.set_major_formatter(mticker.FuncFormatter(
+            lambda v, _: fmt(v, C.MAP_LEFT_LON, "E")))
+        ax.yaxis.set_major_formatter(mticker.FuncFormatter(
+            lambda v, _: fmt(v, C.MAP_BOTTOM_LAT, "N")))
+        ax.grid(color="#9db8cf", alpha=0.22, lw=0.5)
 
     # -- dispatch ------------------------------------------------------------
 

@@ -72,10 +72,13 @@ def main():
     fr = jnp.asarray(args.hier_opp_fight_ratio / 100.0, jnp.float32)
     max_macro = harness.max_macro_steps(cfg)
 
-    def one_rollout(ep_key, policy_key, mode):
+    def one_rollout(ep_key, policy_key, mode, env_salt=None):
         """mode 0=greedy, 1=sample-from-policy, 2=uniform-random.
         ep_key drives env randomness (shared across the K rollouts of an
-        episode); policy_key drives only the commander's own draws."""
+        episode); policy_key drives only the commander's own draws.
+        ``env_salt`` (luck-control arm): re-keys the env's random stream
+        while keeping the spawn and the greedy decisions fixed -- wins
+        gained this way are pure stochasticity re-rolls, not decisions."""
         st, obs = highlevel.reset(cfg, ep_key)
         h = jnp.zeros((na, 2, GRU_SIZE))
 
@@ -102,7 +105,10 @@ def main():
 
         # env keys derive from ep_key alone -> identical opponent-commander
         # and engine draws across this episode's K rollouts
-        env_keys = jax.random.split(jax.random.fold_in(ep_key, 1), max_macro)
+        ek = jax.random.fold_in(ep_key, 1)
+        if env_salt is not None:
+            ek = jax.random.fold_in(ek, env_salt)
+        env_keys = jax.random.split(ek, max_macro)
         pol_keys = jax.random.split(policy_key, max_macro)
         (_, _, _, done, win), _ = jax.lax.scan(
             step_fn, (st, obs, h, jnp.asarray(False), jnp.asarray(False)),
@@ -120,15 +126,21 @@ def main():
         rnd_keys = jax.random.split(jax.random.fold_in(ep_key, 3), K)
         rnd_wins = jax.vmap(
             lambda pk: one_rollout(ep_key, pk, jnp.asarray(2)))(rnd_keys)
+        # luck control: SAME greedy decisions, K re-rolled env streams
+        luck_wins = jax.vmap(
+            lambda s: one_rollout(ep_key, jax.random.PRNGKey(0),
+                                  jnp.asarray(0), env_salt=s))(
+            jnp.arange(1, K + 1))
         any_pol = greedy_win | jnp.any(pol_wins)
         any_all = any_pol | jnp.any(rnd_wins)
         return (greedy_win.astype(jnp.int32), any_pol.astype(jnp.int32),
                 jnp.any(rnd_wins).astype(jnp.int32),
-                any_all.astype(jnp.int32))
+                any_all.astype(jnp.int32),
+                jnp.any(luck_wins).astype(jnp.int32))
 
     run = jax.jit(jax.vmap(one_episode))
     t0 = time.time()
-    totals = [0, 0, 0, 0]
+    totals = [0, 0, 0, 0, 0]
     used = 0
     key = jax.random.PRNGKey(opt.seed)
     keys = jax.random.split(key, opt.n_evals)
@@ -139,12 +151,12 @@ def main():
             kchunk = jnp.concatenate(
                 [kchunk, jnp.tile(kchunk[-1:], (opt.chunk - take, 1))])
         out = jax.device_get(run(kchunk))
-        for i in range(4):
+        for i in range(5):
             totals[i] += int(out[i][:take].sum())
         used += take
         print(f"{used}/{opt.n_evals}: greedy {totals[0]} "
               f"oracle(policy K={K}) {totals[1]} random-any {totals[2]} "
-              f"oracle(all) {totals[3]}", flush=True)
+              f"oracle(all) {totals[3]} luck-any {totals[4]}", flush=True)
 
     n = opt.n_evals
     res = {
@@ -154,6 +166,7 @@ def main():
         "oracle_policy_win_pct": round(100 * totals[1] / n, 1),
         "random_any_win_pct": round(100 * totals[2] / n, 1),
         "oracle_all_win_pct": round(100 * totals[3] / n, 1),
+        "luck_any_win_pct": round(100 * totals[4] / n, 1),
         "checkpoint": "deploy/commander_3opp@3001",
         "seconds": round(time.time() - t0, 1),
     }
@@ -177,14 +190,20 @@ Ratio {args.hier_opp_fight_ratio} opponents, deployed checkpoint
 
 | arm | win % |
 |---|---|
-| greedy commander (deployed) | {res['greedy_win_pct']} |
-| oracle over policy samples (best-of-{K + 1}) | {res['oracle_policy_win_pct']} |
-| any uniform-random commander (of {K}) | {res['random_any_win_pct']} |
+| greedy commander (deployed), single rollout | {res['greedy_win_pct']} |
+| LUCK CONTROL: same greedy decisions, best-of-{K} re-rolled env streams | {res['luck_any_win_pct']} |
+| oracle over policy samples (best-of-{K + 1}, pinned env stream) | {res['oracle_policy_win_pct']} |
+| any uniform-random commander (of {K}, pinned env stream) | {res['random_any_win_pct']} |
 | oracle over ALL {2 * K + 1} rollouts | {res['oracle_all_win_pct']} |
 
-Reading: the gap between the greedy row and the oracle rows bounds how
-much win rate better commander DECISIONS could extract from this bank on
-these episodes.  (`artifacts/COMMANDER_ORACLE.json` for raw numbers.)
+Reading: a best-of-K selection inflates ALL arms by re-rolling the
+combat stochasticity (trajectories diverge, so even the pinned env
+stream is effectively re-rolled after the first differing decision) --
+the luck-control row measures exactly that inflation with the commander's
+decisions held fixed.  The decision-specific headroom on this bank is
+the margin of the oracle rows over the luck row; the margin of every
+best-of-K row over the single-rollout row is dominated by outcome
+variance, not decision quality.  (`artifacts/COMMANDER_ORACLE.json`.)
 """
     with open(os.path.join(ROOT, "artifacts", "COMMANDER_ORACLE.md"),
               "w") as f:
