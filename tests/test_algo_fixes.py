@@ -41,6 +41,39 @@ def _loop_forward(trainer, params, obs, act_norm, h, reset=None):
             jnp.stack(h_new, axis=1))
 
 
+class TestCommanderAgentFoldFast:
+    def test_forward_matches_loop_tiny(self):
+        """Fast-gate variant: no HL bank, no trainer.init -- random params
+        straight from the model, tiny B/T.  Keeps the fold/loop equivalence
+        (a core training-path rewrite) inside the default gate."""
+        cfg = ECfg.make_highlevel_config(n_opp_hl=2)
+        tr = CommanderPPO(cfg, HierPPOConfig(num_envs=2, rollout_len=4,
+                                             seq_len=2), bank=None)
+        d = cfg.obs_hl
+        from hhmarl_2d_tpu.models.commander import GRU_SIZE
+        z = jnp.zeros((1, 1, d))
+        zo = jnp.zeros((1, 1, tr.na - 1, d))
+        za = jnp.zeros((1, 1, 1))
+        zao = jnp.zeros((1, 1, tr.na - 1, 1))
+        hz = jnp.zeros((1, GRU_SIZE))
+        params = tr.model.init(KEY, z, zo, za, zao, hz, hz)
+
+        B, T = 2, 3
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+        obs = jax.random.normal(k1, (B, T, tr.na, d))
+        act = jax.random.uniform(k2, (B, T, tr.na, 1))
+        h = jax.random.normal(k3, (B, tr.na, 2, GRU_SIZE)) * 0.1
+        reset = jnp.zeros((B, T), bool).at[:, 1].set(True)
+
+        # the act+reset combo exercises the general path (act_norm=None is
+        # the same path with zeros); the slow-marked class covers both
+        got = tr._forward_agents(params, obs, act, h, reset)
+        want = _loop_forward(tr, params, obs, act, h, reset)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.slow
 class TestCommanderAgentFold:
     @pytest.mark.parametrize("n_opp", [2, 3])
