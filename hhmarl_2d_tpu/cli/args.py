@@ -50,6 +50,20 @@ def build_parser(mode: int) -> argparse.ArgumentParser:
     p.add_argument("--policy_dir", type=str, default=None,
                    help="Frozen-policy store root (default <repo>/policies; "
                         "committed evaluations use deploy/policies)")
+    p.add_argument("--opp_policy_dir", type=str, default=None,
+                   help="Load the OPPONENTS' frozen fight/escape policies "
+                        "from a different store (default: --policy_dir). "
+                        "Enables cross-bank evaluation (bank A agents vs "
+                        "bank B opponents) and self-play iterations that "
+                        "train/export into a new store while facing the "
+                        "previous frozen bank")
+    p.add_argument("--init_from_policies", type=int, default=0,
+                   help="Low-level training only: warm-start the team's "
+                        "params from the frozen store's "
+                        "L{N}_{agent_mode} policies instead of random "
+                        "init (self-play iteration: continue from an "
+                        "exported bank when no TrainState checkpoint "
+                        "exists, e.g. the committed deploy/policies)")
     p.add_argument("--log_name", type=str, default=None)
     p.add_argument("--log_base", type=str, default=None,
                    help="Results root (default <repo>/results)")

@@ -52,19 +52,27 @@ def build_hl_bank(args, dtype=None):
         esc = CKPT.load_policy(root, 3, "escape", e_tmpl)
         esc_level = 3
 
+    # --opp_policy_dir: cross-bank evaluation — opponents' fight policies
+    # come from a different frozen store (e.g. iteration-2 agents vs the
+    # committed deploy/policies bank).  Escape stays shared: in the macro
+    # env both sides decode escape from the same bank entry.
+    opp_root = getattr(args, "opp_policy_dir", None) or root
     fight_opp_level = args.eval_level_ag
     fight_opp = fight
-    if not args.eval_hl:
-        fight_opp_level = args.eval_level_opp
-        fight_opp = CKPT.load_policy(root, fight_opp_level, "fight", f_tmpl)
+    if not args.eval_hl or opp_root != root:
+        fight_opp_level = (args.eval_level_opp if not args.eval_hl
+                           else args.eval_level_ag)
+        fight_opp = CKPT.load_policy(opp_root, fight_opp_level, "fight",
+                                     f_tmpl)
     print(f"frozen bank [{root}]: agents fight L{args.eval_level_ag} / "
-          f"escape L{esc_level}, opponents fight L{fight_opp_level}",
-          flush=True)
+          f"escape L{esc_level}, opponents fight L{fight_opp_level} "
+          f"[{opp_root}]", flush=True)
     bank = highlevel.make_hl_bank(team_f, team_e, fight, esc, fight_opp)
     bank["_meta"] = {"policy_dir": root,
                      "fight_level": args.eval_level_ag,
                      "escape_level": esc_level,
-                     "fight_level_opp": fight_opp_level}
+                     "fight_level_opp": fight_opp_level,
+                     "opp_policy_dir": opp_root}
     return bank
 
 

@@ -33,7 +33,10 @@ def build_opp_actor(args, team_fight_tmpl, team_esc_tmpl):
     (_get_policies LowLevel, env_base.py:318-331)."""
     if args.level < 4:
         return None
-    root = args.policy_dir
+    # --opp_policy_dir: face a DIFFERENT frozen store than the one this
+    # run exports into (self-play iteration: opponents stay pinned to the
+    # previous bank while checkpoints refresh the new store's L5 entry)
+    root = args.opp_policy_dir or args.policy_dir
     f_tmpl = team_fight_tmpl.init(jax.random.PRNGKey(0))
     e_tmpl = team_esc_tmpl.init(jax.random.PRNGKey(0))
 
@@ -99,6 +102,15 @@ def main(argv=None):
         path = args.restore_path or ckpt_dir
         ts = CKPT.restore_train_state(path, ts)
         print(f"restored from {path}", flush=True)
+    elif args.init_from_policies:
+        # warm-start from an exported frozen bank (fresh optimizer/KL):
+        # the self-play-iteration path when only policy params survive,
+        # e.g. continuing from the committed deploy/policies store
+        ts = ts.replace(params=CKPT.load_policy(
+            args.policy_dir, args.init_from_policies, args.agent_mode,
+            ts.params))
+        print(f"params warm-started from {args.policy_dir} "
+              f"L{args.init_from_policies}_{args.agent_mode}", flush=True)
 
     # place AFTER restore so restored arrays get the mesh shardings too
     ts, env_state, obs = M.place_train_inputs(mesh, ts, env_state, obs)
