@@ -314,6 +314,11 @@ def bench_scaling():
 
 
 def main():
+    # persistent compiled-program cache (utils/platform.py): without it a
+    # bench run spends ~25 min re-compiling its ~8 programs through the
+    # TPU tunnel (measured 28 min cold vs ~3 min warm end-to-end)
+    from hhmarl_2d_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("all", "rollout", "train", "hl", "l5",
                                        "split", "scaling"),
