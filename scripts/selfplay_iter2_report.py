@@ -28,6 +28,9 @@ def main():
         "Metrics_Low-Level_3-vs-3_3opp_deploy_vs_iter2.json"))
     sym = load(os.path.join(
         ROOT, "artifacts", "Metrics_Low-Level_3-vs-3_3opp_L5opp.json"))
+    cmdr = load(os.path.join(
+        base, "EVAL_Commander_3-vs-3_3opp_cmdr_iter2",
+        "Metrics_Commander_3-vs-3_3opp_cmdr_iter2.json"))
 
     train_meta = {}
     mfile = os.path.join(base, "L5_fight_iter2", "metrics.jsonl")
@@ -40,8 +43,11 @@ def main():
         "iter2_vs_deploy": fwd,
         "deploy_vs_iter2": rev,
         "deploy_vs_deploy_baseline": sym,
+        "commander_iter2_bank": cmdr,
         "margin_fwd_win": round(fwd["win"] - sym["win"], 2),
         "margin_rev_win": round(rev["win"] - sym["win"], 2),
+        "margin_cmdr_over_iter2_baseline": round(
+            cmdr["win"] - fwd["win"], 2),
         "train": train_meta,
         "epochs": os.environ.get("E", "800"),
     }
