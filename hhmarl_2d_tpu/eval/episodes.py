@@ -23,7 +23,7 @@ def _record(sim):
                 cannon_burst=sim.cannon_burst, ac_type=sim.ac_type)
 
 
-def _to_trace(cfg, rec, done_t):
+def _to_trace(cfg, rec, done_t, frame_unit="s"):
     """Trim the scan recording at the first done step."""
     T = int(done_t) + 1
     return EpisodeTrace(
@@ -35,7 +35,8 @@ def _to_trace(cfg, rec, done_t):
         cannon_burst=np.asarray(rec["cannon_burst"])[:T],
         num_agents=cfg.num_agents, map_size=cfg.map_size,
         ac_type=np.asarray(rec["ac_type"])[0],
-        m_heading=np.asarray(rec["m_heading"])[:T])
+        m_heading=np.asarray(rec["m_heading"])[:T],
+        frame_unit=frame_unit)
 
 
 def run_episode_lowlevel(cfg, team, params, key, opp_actor=None,
@@ -117,7 +118,8 @@ def run_episode_highlevel(cfg, model, params, bank, key, greedy=True,
         step_fn, (st, obs, h, jnp.asarray(0.0), jnp.asarray(False)), keys)
     done_t = int(jnp.argmax(rec["done"]))
     infos = {k: np.asarray(v)[:done_t + 1].sum() for k, v in rec["info"].items()}
-    return float(acc), done_t + 1, infos, _to_trace(cfg, rec, done_t)
+    return float(acc), done_t + 1, infos, _to_trace(cfg, rec, done_t,
+                                                    frame_unit="macro")
 
 
 def _commander_forward(model, params, obs, h, na):

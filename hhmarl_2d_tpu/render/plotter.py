@@ -40,6 +40,10 @@ class EpisodeTrace:
     map_size: float
     ac_type: Optional[np.ndarray] = None    # [n_slots] 1|2, for cannon cones
     m_heading: Optional[np.ndarray] = None  # [T, n_slots] missile headings
+    # what one frame index means for the clock banner: low-level traces
+    # record every 1-second tick ("s"); high-level traces record one frame
+    # per commander macro action ("macro", up to 16 ticks each)
+    frame_unit: str = "s"
 
 
 def _airplane_glyph(ax, x, y, heading_deg, color, size):

@@ -463,9 +463,15 @@ def scene_from_trace(trace, t: int, paths: bool = True,
 
     n = trace.lat.shape[1]
     na = trace.num_agents
+    # one trace frame = one sim second for low-level traces but one
+    # commander macro action (up to 16 ticks) for high-level ones --
+    # label the clock banner accordingly (EpisodeTrace.frame_unit)
+    unit = getattr(trace, "frame_unit", "s")
+    clock = (f"t = {t:4d} s" if unit == "s"
+             else f"macro-step {t:3d}")
     objects: List[Drawable] = [
         StatusMessage(status or ""),
-        TopLeftMessage(f"t = {t:4d} s"),
+        TopLeftMessage(clock),
     ]
     for i in range(n):
         side = "blue" if i < na else "red"
