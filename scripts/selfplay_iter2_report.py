@@ -51,6 +51,19 @@ def main():
         "train": train_meta,
         "epochs": os.environ.get("E", "800"),
     }
+    # iteration 3, when present (scripts/selfplay_iter3.sh)
+    try:
+        out["iter3_vs_iter2"] = load(os.path.join(
+            base, "EVAL_Low-Level_3-vs-3_3opp_iter3_vs_iter2",
+            "Metrics_Low-Level_3-vs-3_3opp_iter3_vs_iter2.json"))
+        out["iter3_vs_deploy"] = load(os.path.join(
+            base, "EVAL_Low-Level_3-vs-3_3opp_iter3_vs_deploy",
+            "Metrics_Low-Level_3-vs-3_3opp_iter3_vs_deploy.json"))
+        out["commander_iter3_bank"] = load(os.path.join(
+            base, "EVAL_Commander_3-vs-3_3opp_cmdr_iter3",
+            "Metrics_Commander_3-vs-3_3opp_cmdr_iter3.json"))
+    except FileNotFoundError:
+        pass
     jp = os.path.join(ROOT, "artifacts", "SELFPLAY_ITER2.json")
     with open(jp, "w") as f:
         json.dump(out, f, indent=2)
